@@ -1,0 +1,71 @@
+"""Configuration for the TPU-native nanopore aligner / SNP caller.
+
+Reference parity note: the reference tool (fmfi-compbio/nadavca) ships a YAML
+defaults file inside the package and exposes a ``--configuration`` override on
+the CLI (SURVEY.md L2/L4, "Config system" row of the component inventory; the
+reference mount was empty at build time so no file:line citation is possible).
+We keep the same shape — a single flat config, YAML-loadable — but make it a
+frozen, hashable dataclass so it can be closed over by ``jax.jit`` without
+retriggering traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Parameters of signal→reference alignment and SNP calling.
+
+    Everything that shapes a compiled kernel (band width, bucket edges, k) is
+    static here; anything that is per-run data (file paths, thresholds used
+    host-side) is free to vary without recompilation.
+    """
+
+    # --- k-mer / pore model ---
+    k: int = 6                    # k-mer length of the pore model (R9.4-era default)
+    # --- signal normalization ---
+    normalization: str = "mad"    # "mad" (median/MAD) or "meanstd"
+    # --- banded DP ---
+    band_width: int = 128         # total band width B (lanes); multiple of 128 for TPU
+    log_p_stay: float = -0.1054   # log prob of emitting another sample at same position (~0.9)
+    log_p_move: float = -2.3026   # log prob of advancing one position (~0.1)
+    log_p_skip: float = -1e30     # log prob of skipping a position (disabled by default)
+    use_skip: bool = False        # enable the skip transition (advance by 2)
+    # --- SNP calling ---
+    snp_prior: float = 0.25       # uniform prior over the 4 bases
+    snp_threshold: float = 0.9    # posterior threshold for emitting a call
+    # --- batching ---
+    bucket_edges: tuple = (4096, 8192, 16384, 32768, 65536)  # signal-length buckets
+    signal_chunk: int = 128       # samples per band-offset update (kernel chunking)
+    # --- mesh ---
+    data_axis: str = "data"       # mesh axis name for data-parallel read sharding
+    genome_axis: str = "genome"   # mesh axis name for sharded locus accumulators
+
+    def __post_init__(self):
+        if self.band_width % 128 != 0:
+            raise ValueError(f"band_width must be a multiple of 128, got {self.band_width}")
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "AlignConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        raw.update(overrides)
+        if "bucket_edges" in raw:
+            raw["bucket_edges"] = tuple(raw["bucket_edges"])
+        return cls(**raw)
+
+    def to_yaml(self, path: str) -> None:
+        d = dataclasses.asdict(self)
+        d["bucket_edges"] = list(d["bucket_edges"])
+        with open(path, "w") as f:
+            yaml.safe_dump(d, f)
+
+
+DEFAULT_CONFIG = AlignConfig()

@@ -1,0 +1,126 @@
+"""Squiggle simulator: generates raw-signal reads with known ground truth.
+
+The sandbox has no nanopore test data (the reference mount is empty — see
+SURVEY.md header), so the parity fixtures prescribed by SURVEY.md §4 are
+generated here: given a reference window and a pore model, sample per-position
+dwell times and Gaussian noise to produce a signal whose true alignment path is
+known. Deterministic under a seed; also used to fabricate fast5 files for the
+ingest tests (io/fast5.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..genome import decode_bases, encode_bases, reverse_complement
+from ..kmer_model import KmerModel
+
+
+@dataclasses.dataclass
+class SimulatedRead:
+    read_id: str
+    signal: np.ndarray          # (T,) float64 normalized-scale samples
+    true_path: np.ndarray       # (T,) int64 reference k-mer position per sample
+    window_codes: np.ndarray    # (L,) int8 encoded window bases (read direction)
+    contig: str
+    ref_start: int              # genome coords of the window
+    ref_end: int
+    strand: int                 # +1 / -1
+    basecall: str               # basecalled sequence (window bases, possibly with errors)
+    move_index: np.ndarray      # (len(basecall),) int64: signal sample where each base starts
+
+
+def simulate_squiggle(
+    window_codes: np.ndarray,
+    model: KmerModel,
+    rng: np.random.Generator,
+    mean_dwell: float = 10.0,
+    noise_scale: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample (signal, true_path) for an encoded window.
+
+    Dwell time per k-mer position is geometric with the given mean (min 1
+    sample); samples are N(mu_p, sigma_p * noise_scale).
+    """
+    mu, sigma = model.expected_signal(window_codes)
+    n = len(mu)
+    p = 1.0 / mean_dwell
+    dwells = rng.geometric(p, size=n)
+    path = np.repeat(np.arange(n, dtype=np.int64), dwells)
+    signal = rng.normal(mu[path], sigma[path] * noise_scale)
+    return signal.astype(np.float64), path
+
+
+def add_basecall_errors(
+    codes: np.ndarray, rng: np.random.Generator, sub_rate: float = 0.02
+) -> np.ndarray:
+    """Apply substitution errors to an encoded sequence (simulated basecall)."""
+    out = codes.copy()
+    errs = rng.random(len(codes)) < sub_rate
+    out[errs] = (out[errs] + rng.integers(1, 4, size=errs.sum())) % 4
+    return out
+
+
+def simulate_read(
+    genome,
+    contig: str,
+    model: KmerModel,
+    rng: np.random.Generator,
+    read_len: int = 500,
+    start: Optional[int] = None,
+    strand: Optional[int] = None,
+    mean_dwell: float = 10.0,
+    noise_scale: float = 1.0,
+    basecall_sub_rate: float = 0.02,
+    read_id: Optional[str] = None,
+) -> SimulatedRead:
+    """Simulate a full read: window choice, squiggle, noisy basecall, move table."""
+    ref = genome[contig]
+    L = min(read_len, len(ref))
+    if start is None:
+        start = int(rng.integers(0, len(ref) - L + 1))
+    if strand is None:
+        strand = 1 if rng.random() < 0.5 else -1
+    window = genome.window(contig, start, start + L, strand)
+    signal, path = simulate_squiggle(window, model, rng, mean_dwell, noise_scale)
+
+    basecall_codes = add_basecall_errors(window, rng, basecall_sub_rate)
+    # move table: sample index at which each base's kmer position begins.
+    # kmer position p starts at the first t with path[t] == p; base index i is
+    # approximated by kmer start position (standard basecaller convention).
+    n_kmer = len(window) - model.k + 1
+    first_t = np.full(len(window), -1, dtype=np.int64)
+    seen = np.zeros(n_kmer, dtype=bool)
+    for t, p_ in enumerate(path):
+        if not seen[p_]:
+            first_t[p_] = t
+            seen[p_] = True
+    # bases beyond the last kmer start inherit the final sample index
+    last = len(signal) - 1
+    for i in range(len(window)):
+        if first_t[i] < 0:
+            first_t[i] = first_t[i - 1] if i > 0 else 0
+    rid = read_id or f"sim_{contig}_{start}_{'+' if strand > 0 else '-'}_{rng.integers(1 << 30)}"
+    return SimulatedRead(
+        read_id=rid,
+        signal=signal,
+        true_path=path,
+        window_codes=window,
+        contig=contig,
+        ref_start=start,
+        ref_end=start + L,
+        strand=strand,
+        basecall=decode_bases(basecall_codes),
+        move_index=first_t,
+    )
+
+
+def random_genome(rng: np.random.Generator, length: int = 5000, name: str = "ref"):
+    """A random reference genome (single contig) for tests/benchmarks."""
+    from ..genome import Genome
+
+    codes = rng.integers(0, 4, size=length).astype(np.int8)
+    return Genome.from_dict({name: decode_bases(codes)})
