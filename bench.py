@@ -1,0 +1,173 @@
+"""Benchmark: reads/s/chip of the TPU align+call pipeline vs the C++ CPU core.
+
+Prints ONE JSON line:
+  {"metric": "reads_per_s_per_chip", "value": N, "unit": "reads/s",
+   "vs_baseline": N / cpu_reads_per_s}
+
+The CPU baseline is the native single-core C++ implementation of the same
+banded Viterbi + local rescoring (csrc/banded_dp.cpp) — the reference tool
+publishes no numbers and is unavailable in this sandbox (BASELINE.md), so the
+equivalent-workload C++ engine is the measured denominator, as BASELINE.md
+prescribes. Workload ≈ BASELINE.json config 2: a 1k-read batch, fixed band,
+single chip.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH_READS = 512     # reads per device batch
+N_BATCHES = 4         # pipelined batches in the timed loop
+READ_LEN = 1000       # bases
+CPU_SAMPLE = 6        # reads timed on the CPU core
+
+
+def build_workload(seed=0):
+    from nadavca_tpu.config import AlignConfig
+    from nadavca_tpu.genome import kmer_ids
+    from nadavca_tpu.io.simulator import random_genome, simulate_read
+    from nadavca_tpu.kmer_model import default_model
+    from nadavca_tpu.sched import build_chunked_bands
+
+    # read_tile=128: 16 independent DP chains per kernel instance — measured
+    # 75 Gcells/s vs 38 at the default 32 (BASELINE.md); fine here because the
+    # bench batch is large
+    cfg = AlignConfig(read_tile=128)
+    rng = np.random.default_rng(seed)
+    model = default_model()
+    genome = random_genome(rng, length=5000)
+    # simulate one read per distinct start; reuse signals across the batch to
+    # keep host prep fast (device work is identical per-read regardless)
+    protos = [
+        simulate_read(genome, "ref", model, rng, read_len=READ_LEN, strand=1,
+                      mean_dwell=10.0)
+        for _ in range(32)
+    ]
+    R = BATCH_READS
+    T = ((max(len(p.signal) for p in protos) + cfg.signal_chunk - 1)
+         // cfg.signal_chunk * cfg.signal_chunk)
+    L = max(len(p.window_codes) for p in protos)
+    N = L - model.k + 1
+    x = np.zeros((R, T), np.float32)
+    t_len = np.zeros(R, np.int32)
+    mu = np.zeros((R, N), np.float32)
+    sigma = np.ones((R, N), np.float32)
+    n_ref = np.zeros(R, np.int32)
+    anchors = np.zeros((R, T), np.float64)
+    codes = np.full((R, L), 4, np.int32)
+    ids = np.full((R, N), -1, np.int32)
+    for r in range(R):
+        p = protos[r % len(protos)]
+        t = len(p.signal)
+        x[r, :t] = p.signal
+        t_len[r] = t
+        m, s = model.expected_signal(p.window_codes)
+        mu[r, : len(m)] = m
+        sigma[r, : len(m)] = s
+        n_ref[r] = len(m)
+        anchors[r, :t] = p.true_path
+        anchors[r, t:] = p.true_path[-1]
+        codes[r, : len(p.window_codes)] = p.window_codes
+        ids[r, : len(m)] = kmer_ids(p.window_codes, model.k)
+    bands = build_chunked_bands(anchors, t_len, n_ref, cfg.band_width,
+                                cfg.signal_chunk)
+    return cfg, model, protos, dict(
+        x=x, t_len=t_len, mu=mu, sigma=sigma, n_ref=n_ref,
+        lo=bands.lo, delta=bands.delta, codes=codes, ids=ids,
+    )
+
+
+def bench_tpu(cfg, model, w):
+    import jax
+    import jax.numpy as jnp
+    from nadavca_tpu.ops import banded_dp, pallas_dp
+
+    backend = jax.default_backend()
+    use_pallas = backend == "tpu"
+    lm = jnp.asarray(model.level_mean)
+    ls = jnp.asarray(model.level_std)
+
+    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids):
+        if use_pallas:
+            res, _ = pallas_dp.pallas_viterbi_batch(
+                x, t_len, mu, sigma, n_ref, lo, delta, cfg
+            )
+        else:
+            T = x.shape[1]
+            lo_full = jnp.repeat(lo, cfg.signal_chunk, axis=1)[:, :T]
+            res = banded_dp.banded_viterbi_batch(
+                x, t_len, mu, sigma, n_ref, lo_full, cfg
+            )
+        base_ll = banded_dp.base_loglik_local_batch(
+            x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
+            t_w=cfg.snp_local_window,
+        )
+        return res.score, base_ll.sum(axis=(1, 2))
+
+    f = jax.jit(step)
+    args = tuple(jnp.asarray(w[k]) for k in
+                 ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta",
+                  "codes", "ids"))
+    out = f(*args)
+    np.asarray(out[0])  # warm compile + sync through the tunnel
+    t0 = time.time()
+    outs = [f(*args) for _ in range(N_BATCHES)]
+    np.asarray(outs[-1][0])
+    np.asarray(outs[-1][1])
+    dt = time.time() - t0
+    reads_per_s = BATCH_READS * N_BATCHES / dt
+    cells = float(np.sum(w["t_len"], dtype=np.int64)) * cfg.band_width * N_BATCHES
+    return reads_per_s, cells / dt, backend
+
+
+def bench_cpu(cfg, model, protos, w):
+    from nadavca_tpu.ops import cpu_ref
+
+    times = []
+    for i in range(CPU_SAMPLE):
+        p = protos[i % len(protos)]
+        mu, sigma = model.expected_signal(p.window_codes)
+        lo = w["lo"][i % w["lo"].shape[0]]
+        lo_full = np.repeat(lo, cfg.signal_chunk)[: len(p.signal)].astype(np.int32)
+        lo_full = np.minimum(lo_full, max(len(mu) - cfg.band_width, 0))
+        t0 = time.time()
+        _, path = cpu_ref.banded_viterbi_cpu(
+            p.signal.astype(np.float32), mu, sigma, lo_full, cfg.band_width,
+            cfg.log_p_stay, cfg.log_p_move,
+        )
+        cpu_ref.base_loglik_local_cpu(
+            p.signal.astype(np.float32), p.window_codes.astype(np.int32),
+            path.astype(np.int32), model.level_mean, model.level_std,
+            model.k, cfg.log_p_stay, cfg.log_p_move, cfg.snp_local_window,
+        )
+        times.append(time.time() - t0)
+    per_read = float(np.median(times))
+    return 1.0 / per_read
+
+
+def main():
+    cfg, model, protos, w = build_workload()
+    try:
+        cpu_rps = bench_cpu(cfg, model, protos, w)
+    except Exception as e:  # no toolchain — fall back to a conservative constant
+        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+        cpu_rps = float("nan")
+    tpu_rps, cells_per_s, backend = bench_tpu(cfg, model, w)
+    vs = tpu_rps / cpu_rps if cpu_rps == cpu_rps else None
+    print(
+        f"[bench] backend={backend} tpu={tpu_rps:.1f} reads/s "
+        f"({cells_per_s/1e9:.1f} Gcells/s incl. rescore) cpu={cpu_rps:.2f} reads/s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "reads_per_s_per_chip",
+        "value": round(tpu_rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Command-line interface: ``align`` and ``snp`` subcommands.
+
+Mirrors the reference CLI shape (SURVEY.md L4: ``nadavca align <ref.fasta>
+<fast5 dir> ...``, ``nadavca snp ...``, ``--configuration`` YAML override —
+reconstructed; mount empty), plus a ``simulate`` subcommand that fabricates
+fast5 test data since no real nanopore data ships with this sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+from . import call as callmod
+from .anchor import SeedIndex
+from .config import AlignConfig, DEFAULT_CONFIG
+from .genome import Genome
+from .io import fast5 as fast5mod
+from .kmer_model import KmerModel, default_model
+from .pipeline import align_batch, assemble_batch, preprocess_read
+from .utils.metrics import Metrics
+
+
+def _load_cfg(args) -> AlignConfig:
+    if getattr(args, "configuration", None):
+        return AlignConfig.from_yaml(args.configuration)
+    return DEFAULT_CONFIG
+
+
+def _load_model(args, cfg) -> KmerModel:
+    if getattr(args, "model", None):
+        return KmerModel.load_tsv(args.model)
+    return default_model(cfg.k)
+
+
+def _iter_batches(records, batch_reads):
+    # bucket by signal length so padding waste stays low
+    records = sorted(records, key=lambda r: len(r.signal))
+    for i in range(0, len(records), batch_reads):
+        yield records[i : i + batch_reads]
+
+
+def _preprocess_all(args, cfg, genome, index, metrics, model=None):
+    records = []
+    skipped = 0
+    for raw in fast5mod.iter_fast5_dir(args.fast5_dir):
+        if raw.basecall is None or raw.move_index is None:
+            skipped += 1
+            continue
+        sig = fast5mod.normalize_signal(raw.signal_pa, cfg.normalization)
+        rec = preprocess_read(sig, raw.basecall, raw.move_index, index, genome,
+                              raw.read_id, model=model)
+        if rec is None:
+            skipped += 1
+            continue
+        records.append(rec)
+    metrics.count("reads_ingested", len(records))
+    metrics.count("reads_skipped", skipped)
+    return records
+
+
+def cmd_align(args) -> int:
+    cfg = _load_cfg(args)
+    model = _load_model(args, cfg)
+    genome = Genome.from_fasta(args.reference)
+    index = SeedIndex(genome)
+    metrics = Metrics()
+    os.makedirs(args.output, exist_ok=True)
+    records = _preprocess_all(args, cfg, genome, index, metrics, model=model)
+    t0 = time.time()
+    n_done = 0
+    for group in _iter_batches(records, args.batch_reads):
+        batch = assemble_batch(group, model, cfg)
+        out = align_batch(batch, model, cfg, backend=args.backend)
+        paths = np.asarray(out["path"])
+        for r in range(batch.n_reads):
+            t = int(batch.t_len[r])
+            n = int(batch.n_ref[r])
+            p = paths[r, :t]
+            # path is monotone nondecreasing → segment bounds by bisection
+            pos = np.arange(n)
+            s = np.searchsorted(p, pos, side="left")
+            e = np.searchsorted(p, pos, side="right")
+            visited = e > s
+            seg_start = np.where(visited, s, -1)
+            seg_end = np.where(visited, e, -1)
+            rec = group[r]
+            out_path = os.path.join(args.output, f"{rec.read_id}.txt")
+            callmod.write_alignment(
+                out_path, rec.read_id, rec.anchor.contig, rec.anchor.strand,
+                rec.anchor.ref_start, rec.anchor.ref_end, seg_start, seg_end,
+            )
+            n_done += 1
+        metrics.count("reads_aligned", batch.n_reads)
+    dt = time.time() - t0
+    metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
+    metrics.report(sys.stderr)
+    print(f"aligned {n_done} reads -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_snp(args) -> int:
+    import jax.numpy as jnp
+
+    cfg = _load_cfg(args)
+    model = _load_model(args, cfg)
+    genome = Genome.from_fasta(args.reference)
+    index = SeedIndex(genome)
+    metrics = Metrics()
+    records = _preprocess_all(args, cfg, genome, index, metrics, model=model)
+
+    # per-contig accumulators (host keeps a dict; device does each batch)
+    contigs = {c.name: len(c) for c in genome}
+    accs = {n: callmod.make_accumulators(l, with_votes=True)
+            for n, l in contigs.items()}
+
+    t0 = time.time()
+    n_done = 0
+    for group in _iter_batches(records, args.batch_reads):
+        batch = assemble_batch(group, model, cfg)
+        out = align_batch(batch, model, cfg, backend=args.backend)
+        # group reads by contig for accumulation
+        by_contig = {}
+        for r in range(batch.n_reads):
+            by_contig.setdefault(group[r].anchor.contig, []).append(r)
+        for cname, rows in by_contig.items():
+            rows_arr = np.asarray(rows, np.int32)
+            acc, cov, votes = accs[cname]
+            acc, cov, votes = callmod.accumulate_batch(
+                acc, cov,
+                out["base_loglik"][rows_arr],
+                jnp.asarray(batch.window_start[rows_arr]),
+                jnp.asarray(batch.window_len[rows_arr]),
+                jnp.asarray(batch.strand[rows_arr]),
+                votes=votes, cfg=cfg,
+            )
+            accs[cname] = (acc, cov, votes)
+        n_done += batch.n_reads
+        metrics.count("reads_called", batch.n_reads)
+    all_calls: List[callmod.SnpCall] = []
+    for cname, (acc, cov, votes) in accs.items():
+        all_calls.extend(
+            callmod.call_snps(
+                np.asarray(acc), np.asarray(cov), genome[cname].codes, cname,
+                cfg, min_coverage=args.min_coverage, votes=np.asarray(votes),
+            )
+        )
+    callmod.write_vcf(args.output, all_calls)
+    dt = time.time() - t0
+    metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
+    metrics.report(sys.stderr)
+    print(f"{len(all_calls)} SNP calls from {n_done} reads -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from .io.simulator import random_genome, simulate_read
+
+    rng = np.random.default_rng(args.seed)
+    cfg = _load_cfg(args)
+    model = _load_model(args, cfg)
+    if args.reference and os.path.exists(args.reference):
+        genome = Genome.from_fasta(args.reference)
+    else:
+        genome = random_genome(rng, length=args.genome_length)
+    os.makedirs(args.output, exist_ok=True)
+    ref_path = os.path.join(args.output, "reference.fasta")
+    genome.to_fasta(ref_path)
+
+    # optionally plant SNPs into the written reference (reads keep the truth)
+    truth = []
+    if args.snps > 0:
+        contig = genome.contigs[0]
+        codes = contig.codes.copy()
+        positions = rng.choice(len(codes) - 20, size=args.snps, replace=False) + 10
+        for p in sorted(positions):
+            orig = int(codes[p])
+            codes[p] = (orig + int(rng.integers(1, 4))) % 4
+            truth.append((contig.name, int(p), orig, int(codes[p])))
+        mutated = Genome.from_dict({contig.name: ""})
+        mutated.contigs[0].codes = codes
+        mutated._by_name = {contig.name: mutated.contigs[0]}
+        mutated.to_fasta(ref_path)
+        with open(os.path.join(args.output, "truth_snps.tsv"), "w") as f:
+            f.write("contig\tpos0\tsample_base\tref_base\n")
+            for cname, p, orig, new in truth:
+                f.write(f"{cname}\t{p}\t{'ACGT'[orig]}\t{'ACGT'[new]}\n")
+
+    contig = genome.contigs[0].name
+    reads = [
+        simulate_read(genome, contig, model, rng, read_len=args.read_length,
+                      read_id=f"sim{i:05d}")
+        for i in range(args.reads)
+    ]
+    per_file = max(1, args.reads // max(1, args.files))
+    for fi in range(0, len(reads), per_file):
+        fast5mod.write_fast5(
+            os.path.join(args.output, f"reads_{fi // per_file:03d}.fast5"),
+            reads[fi : fi + per_file],
+        )
+    print(f"simulated {len(reads)} reads -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nadavca-tpu",
+        description="TPU-native nanopore raw-signal alignment and SNP calling",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("reference", help="reference FASTA")
+        sp.add_argument("fast5_dir", help="directory of .fast5 files")
+        sp.add_argument("--configuration", help="YAML config override")
+        sp.add_argument("--model", help="k-mer model tsv (default: builtin)")
+        sp.add_argument("--batch-reads", type=int, default=256)
+        sp.add_argument("--backend", default="auto",
+                        choices=["auto", "pallas", "scan"])
+
+    sa = sub.add_parser("align", help="signal→reference alignments per read")
+    common(sa)
+    sa.add_argument("-o", "--output", required=True, help="output directory")
+    sa.set_defaults(fn=cmd_align)
+
+    ss = sub.add_parser("snp", help="signal-level SNP calls")
+    common(ss)
+    ss.add_argument("-o", "--output", required=True, help="output VCF path")
+    ss.add_argument("--min-coverage", type=int, default=2)
+    ss.set_defaults(fn=cmd_snp)
+
+    sm = sub.add_parser("simulate", help="generate synthetic fast5 test data")
+    sm.add_argument("--reference", help="FASTA to simulate from (default: random)")
+    sm.add_argument("-o", "--output", required=True)
+    sm.add_argument("--reads", type=int, default=32)
+    sm.add_argument("--files", type=int, default=4)
+    sm.add_argument("--read-length", type=int, default=600)
+    sm.add_argument("--genome-length", type=int, default=5000)
+    sm.add_argument("--snps", type=int, default=0)
+    sm.add_argument("--seed", type=int, default=0)
+    sm.add_argument("--configuration")
+    sm.add_argument("--model")
+    sm.set_defaults(fn=cmd_simulate)
+    return p
+
+
+def main(argv=None) -> int:
+    from .utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

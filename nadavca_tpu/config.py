@@ -39,9 +39,20 @@ class AlignConfig:
     # --- SNP calling ---
     snp_prior: float = 0.25       # uniform prior over the 4 bases
     snp_threshold: float = 0.9    # posterior threshold for emitting a call
+    snp_rescore: str = "local"    # "local": restricted re-DP per substitution
+                                  # (reference semantics, unbiased);
+                                  # "fixed": closed-form fixed-path re-score (fast approx)
+    snp_local_window: int = 192   # max samples per local re-DP window
+    snp_ll_clip: float = 25.0     # per-read per-position |log-lik delta| cap
+                                  # (bounds the influence of one bad read)
+    snp_vote_margin: float = 3.0  # per-read margin for an alt "vote"
+    snp_min_alt_votes: int = 2    # reads voting alt required for a call
+    snp_cluster_prune: bool = True  # suppress weaker calls within k of a stronger one
     # --- batching ---
-    bucket_edges: tuple = (4096, 8192, 16384, 32768, 65536)  # signal-length buckets
+    bucket_edges: tuple = (1024, 2048, 4096, 8192, 16384, 32768, 65536)  # signal-length buckets
     signal_chunk: int = 128       # samples per band-offset update (kernel chunking)
+    read_tile: int = 32           # reads per Pallas kernel instance (VPU sublane multiple)
+    kernel_unroll: object = True  # fori_loop unroll inside the fill kernel (True or 1)
     # --- mesh ---
     data_axis: str = "data"       # mesh axis name for data-parallel read sharding
     genome_axis: str = "genome"   # mesh axis name for sharded locus accumulators

@@ -1,0 +1,200 @@
+"""fast5 (HDF5) read ingest and signal normalization.
+
+Parity target: the reference's ``Read`` loader (SURVEY.md component inventory
+"Read / fast5 ingest" row — reconstructed; mount empty): open .fast5 via h5py,
+extract the raw DAC signal, convert to picoamps with the channel calibration,
+pull the basecalled sequence and the basecaller move table, and normalize the
+signal (median shift / MAD scale).
+
+Both single- and multi-read fast5 layouts are supported:
+  single-read:  /Raw/Reads/Read_N/Signal + /UniqueGlobalKey/channel_id
+  multi-read:   /read_<id>/Raw/Signal    + /read_<id>/channel_id
+
+The writer exists so the ingest path is testable end-to-end in this sandbox
+(no real nanopore data is available — SURVEY.md §7.3 item 7); it emits the
+same structure the reader consumes, filled from the simulator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import h5py
+
+    HAVE_H5PY = True
+except ImportError:  # pragma: no cover - h5py is present in this image
+    HAVE_H5PY = False
+
+
+@dataclasses.dataclass
+class RawRead:
+    """One ingested read: calibrated signal + basecall + move table."""
+
+    read_id: str
+    signal_pa: np.ndarray          # (T,) float32 picoamps
+    basecall: Optional[str]        # None if no basecall group
+    move_index: Optional[np.ndarray]  # (n_bases,) int64 sample of each base start
+    sampling_rate: float = 4000.0
+
+    def normalized(self, method: str = "mad") -> np.ndarray:
+        return normalize_signal(self.signal_pa, method)
+
+
+def normalize_signal(signal: np.ndarray, method: str = "mad") -> np.ndarray:
+    """Shift/scale normalization to the pore-model's unit scale.
+
+    "mad": (x - median) / (1.4826 * median(|x - median|)) — robust, the
+    standard squiggle normalization; "meanstd": classic z-score.
+    """
+    x = np.asarray(signal, dtype=np.float64)
+    if method == "mad":
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        scale = 1.4826 * mad if mad > 0 else (np.std(x) or 1.0)
+        return ((x - med) / scale).astype(np.float32)
+    if method == "meanstd":
+        std = np.std(x) or 1.0
+        return ((x - np.mean(x)) / std).astype(np.float32)
+    raise ValueError(f"unknown normalization {method!r}")
+
+
+# ------------------------------------------------------------------- writing
+def write_fast5(
+    path: str,
+    reads: Sequence,
+    digitisation: float = 8192.0,
+    offset: float = 0.0,
+    range_pa: float = 1400.0,
+    sampling_rate: float = 4000.0,
+) -> None:
+    """Write simulated reads into a multi-read fast5 file.
+
+    ``reads`` are io.simulator.SimulatedRead objects; their unit-scale signal
+    is re-expanded to plausible DAC codes so the reader's calibration path is
+    exercised for real.
+    """
+    if not HAVE_H5PY:
+        raise RuntimeError("h5py unavailable")
+    scale = range_pa / digitisation
+    with h5py.File(path, "w") as f:
+        f.attrs["file_version"] = "2.0"
+        for rd in reads:
+            g = f.create_group(f"read_{rd.read_id}")
+            # invent a pA-scale affine embedding of the normalized signal
+            pa = 80.0 + 12.0 * rd.signal
+            dac = np.clip(np.round(pa / scale - offset), 0, digitisation - 1).astype(
+                np.int16
+            )
+            raw = g.create_group("Raw")
+            raw.create_dataset("Signal", data=dac, dtype=np.int16)
+            raw.attrs["read_id"] = rd.read_id
+            ch = g.create_group("channel_id")
+            ch.attrs["digitisation"] = digitisation
+            ch.attrs["offset"] = offset
+            ch.attrs["range"] = range_pa
+            ch.attrs["sampling_rate"] = sampling_rate
+            bc = g.create_group("Analyses/Basecall_1D_000/BaseCalled_template")
+            fastq = f"@{rd.read_id}\n{rd.basecall}\n+\n{'!' * len(rd.basecall)}\n"
+            bc.create_dataset("Fastq", data=fastq)
+            bc.create_dataset("MoveIndex", data=rd.move_index.astype(np.int64))
+
+
+# ------------------------------------------------------------------- reading
+def _calibrate(dac: np.ndarray, ch_attrs) -> np.ndarray:
+    dig = float(ch_attrs.get("digitisation", 8192.0))
+    off = float(ch_attrs.get("offset", 0.0))
+    rng = float(ch_attrs.get("range", 1400.0))
+    return ((dac.astype(np.float32) + off) * (rng / dig)).astype(np.float32)
+
+
+def _parse_fastq_seq(raw) -> Optional[str]:
+    if raw is None:
+        return None
+    s = raw[()] if hasattr(raw, "shape") else raw
+    if isinstance(s, bytes):
+        s = s.decode("ascii", "replace")
+    lines = s.splitlines()
+    return lines[1] if len(lines) >= 2 else None
+
+
+def _read_single(f) -> List[RawRead]:
+    reads = []
+    ch = f["UniqueGlobalKey/channel_id"].attrs if "UniqueGlobalKey" in f else {}
+    for name, grp in f["Raw/Reads"].items():
+        dac = grp["Signal"][:]
+        rid = grp.attrs.get("read_id", name)
+        if isinstance(rid, bytes):
+            rid = rid.decode("ascii")
+        basecall, moves = _find_basecall(f)
+        reads.append(
+            RawRead(
+                read_id=str(rid),
+                signal_pa=_calibrate(dac, ch),
+                basecall=basecall,
+                move_index=moves,
+                sampling_rate=float(ch.get("sampling_rate", 4000.0)),
+            )
+        )
+    return reads
+
+
+def _find_basecall(g):
+    for key in g.get("Analyses", {}):
+        if key.startswith("Basecall_1D"):
+            tmpl = g[f"Analyses/{key}"].get("BaseCalled_template")
+            if tmpl is None:
+                continue
+            seq = _parse_fastq_seq(tmpl.get("Fastq"))
+            moves = None
+            if "MoveIndex" in tmpl:
+                moves = tmpl["MoveIndex"][:].astype(np.int64)
+            elif "Move" in tmpl:
+                # ONT move table: 1 where a new base starts, per signal stride
+                mv = tmpl["Move"][:].astype(np.int64)
+                stride = int(tmpl.attrs.get("block_stride", 1))
+                moves = np.nonzero(mv)[0] * stride
+            return seq, moves
+    return None, None
+
+
+def read_fast5(path: str) -> List[RawRead]:
+    """All reads of a fast5 file (single- or multi-read layout)."""
+    if not HAVE_H5PY:
+        raise RuntimeError("h5py unavailable")
+    out: List[RawRead] = []
+    with h5py.File(path, "r") as f:
+        if "Raw" in f:
+            return _read_single(f)
+        for name in f:
+            if not name.startswith("read_"):
+                continue
+            g = f[name]
+            dac = g["Raw/Signal"][:]
+            ch = g["channel_id"].attrs if "channel_id" in g else {}
+            rid = g["Raw"].attrs.get("read_id", name[5:])
+            if isinstance(rid, bytes):
+                rid = rid.decode("ascii")
+            basecall, moves = _find_basecall(g)
+            out.append(
+                RawRead(
+                    read_id=str(rid),
+                    signal_pa=_calibrate(dac, ch),
+                    basecall=basecall,
+                    move_index=moves,
+                    sampling_rate=float(ch.get("sampling_rate", 4000.0)),
+                )
+            )
+    return out
+
+
+def iter_fast5_dir(directory: str) -> Iterator[RawRead]:
+    """Stream reads from every .fast5 under a directory (sorted, stable)."""
+    for root, _dirs, files in sorted(os.walk(directory)):
+        for fn in sorted(files):
+            if fn.endswith(".fast5"):
+                yield from read_fast5(os.path.join(root, fn))

@@ -283,3 +283,84 @@ def full_read_spec(
         "stats": stats,
         "base_loglik": base_ll,
     }
+
+
+def base_substitution_loglik_local(
+    window_codes: np.ndarray,
+    path: np.ndarray,
+    x: np.ndarray,
+    level_mean: np.ndarray,
+    level_std: np.ndarray,
+    k: int,
+    cfg: AlignConfig = AlignConfig(),
+    max_window: int = 1 << 30,
+) -> np.ndarray:
+    """Per-position per-base log-likelihoods via restricted local re-DP.
+
+    For each base position i and candidate base b, re-run the banded DP over
+    ONLY the k k-mer positions overlapping i, using the signal samples the
+    global Viterbi path assigned to those positions, with entry fixed at the
+    first position and exit fixed at the last (the global path's boundary
+    crossings). This is the reference's second hot loop (SURVEY.md §3.2/§3.4
+    "SNP re-score: recompute restricted DP over that window"): unlike
+    fixed-path re-scoring (:func:`base_substitution_loglik`), the local path
+    re-optimizes per substitution, which removes the reference-bias of a path
+    that was chosen to fit the reference allele.
+
+    Returns (L, 4) float64, reference base normalized to 0.
+    """
+    from ..genome import kmer_ids
+
+    L = len(window_codes)
+    N = L - k + 1
+    seg_start, seg_end = path_segments(path, N)
+    ids = kmer_ids(window_codes, k)
+    pow4 = 4 ** np.arange(k - 1, -1, -1)
+    out = np.zeros((L, 4))
+
+    for i in range(L):
+        ref_base = int(window_codes[i])
+        if ref_base > 3:
+            continue
+        p_lo = max(0, i - k + 1)
+        p_hi = min(N - 1, i)
+        if p_hi < p_lo:
+            continue
+        # clip to the span the global path actually visited
+        while p_lo <= p_hi and seg_start[p_lo] < 0:
+            p_lo += 1
+        while p_hi >= p_lo and seg_start[p_hi] < 0:
+            p_hi -= 1
+        if p_hi < p_lo:
+            continue
+        S = int(seg_start[p_lo])
+        E = int(seg_end[p_hi])
+        if E - S > max_window:
+            E = S + max_window
+        xs = x[S:E]
+        kk = p_hi - p_lo + 1
+        ps = np.arange(p_lo, p_hi + 1)
+        if (ids[ps] < 0).any():
+            continue
+        offs = i - ps  # offset of base i inside the kmer at p (may be <0/>k-1 at edges)
+        scores = np.full(4, np.nan)
+        for b in range(4):
+            dmu = np.empty(kk)
+            dsg = np.empty(kk)
+            for j, (p, o) in enumerate(zip(ps, offs)):
+                if 0 <= o < k:
+                    nid = ids[p] + (b - ref_base) * pow4[o]
+                else:  # kmer does not contain base i (edge padding) — unchanged
+                    nid = ids[p]
+                dmu[j] = level_mean[nid]
+                dsg[j] = level_std[nid]
+            # restricted Viterbi over positions 0..kk-1, samples xs
+            V = np.full(kk, NEG_INF)
+            V[0] = gaussian_logpdf(xs[0], dmu[0], dsg[0])
+            for t in range(1, len(xs)):
+                stay = V + cfg.log_p_stay
+                move = np.concatenate([[NEG_INF], V[:-1] + cfg.log_p_move])
+                V = gaussian_logpdf(xs[t], dmu, dsg) + np.maximum(stay, move)
+            scores[b] = V[kk - 1]
+        out[i] = scores - scores[ref_base]
+    return out

@@ -1,0 +1,308 @@
+"""Pallas TPU wavefront kernel for the banded Viterbi fill.
+
+TPU-native mapping of the DP specified in ops/dp_spec.py (the reference's C++
+``nadavca.dtw`` hot loop — SURVEY.md §3.4; rebuilt, not translated):
+
+  * **reads ride VPU sublanes** (R_TILE = 8 per kernel instance), **band slots
+    ride lanes** (B = 128·m) — one DP step for 8 reads is a handful of vector
+    ops on (8, B) tiles, no scalar code anywhere;
+  * the band is **piecewise constant per signal chunk** (sched/bands.py), so
+    the inner loop has *zero gathers*: expected-level band slices are
+    pregathered per (read, chunk) and streamed in as dense blocks; the only
+    realignment is one lane-gather per chunk boundary;
+  * the grid is (read_tiles, chunks) with chunks innermost and the DP state
+    (V, renorm accumulator, bit-pack register) carried in VMEM scratch across
+    sequential chunk steps — the classic Pallas carried-wavefront pattern;
+  * decisions are packed 1 bit/cell/step into int32 words and streamed to HBM
+    (T·B/8 bytes per read), keeping the fill compute-bound; backtrack is a
+    separate cheap pass over the bits;
+  * per-chunk renormalization keeps carried f32 values O(chunk), preserving
+    argmax decisions exactly (a per-read constant shift) while the absolute
+    score accumulates in a separate f32 register.
+
+The skip transition is not supported here (cfg.use_skip falls back to the
+lax.scan path); stay/move is the reference's default model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import AlignConfig
+from .banded_dp import NEG_INF, ViterbiResult, _band_gather
+
+_HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
+
+
+def _fill_kernel(
+    # inputs
+    x_ref,        # (R_TILE, C) f32 signal chunk
+    mu_ref,       # (1, R_TILE, B) f32 band levels for this chunk
+    sg_ref,       # (1, R_TILE, B) f32
+    lo_ref,       # (1, R_TILE, 1) i32 band start of this chunk
+    dl_ref,       # (1, R_TILE, 1) i32 band advance vs previous chunk
+    tlen_ref,     # (R_TILE, 1) i32
+    nref_ref,     # (R_TILE, 1) i32
+    # outputs
+    dec_ref,      # (C//32, R_TILE, B) i32 packed move-bits
+    vout_ref,     # (R_TILE, B) f32 final (renormalized) band values
+    accout_ref,   # (R_TILE, 1) f32 renormalization accumulator
+    # scratch
+    v_scr,        # (R_TILE, B) f32 carried DP state
+    acc_scr,      # (R_TILE, 1) f32 carried renorm accumulator
+    *,
+    chunk_size: int,
+    band_width: int,
+    log_p_stay: float,
+    log_p_move: float,
+    r_tile: int,
+    unroll,
+):
+    R_TILE = r_tile
+    c = pl.program_id(1)
+    C, B = chunk_size, band_width
+
+    mu = mu_ref[0]
+    sg = sg_ref[0]
+    lo_col = lo_ref[0]
+    dl_col = dl_ref[0]
+    tlen = tlen_ref[:]
+    nref = nref_ref[:]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, B), 1)
+    pos_valid = (lo_col + lane) < nref
+    em_const = jnp.where(pos_valid, -jnp.log(sg) - _HALF_LOG_2PI, NEG_INF)
+    inv2v = 0.5 / (sg * sg)
+
+    @pl.when(c == 0)
+    def _():
+        v_scr[:] = jnp.full((R_TILE, B), NEG_INF, jnp.float32)
+        acc_scr[:] = jnp.zeros((R_TILE, 1), jnp.float32)
+
+    @pl.when(c > 0)
+    def _():
+        # realign carried state to the new band start: V'[j] = V[j + delta]
+        idx = lane + dl_col
+        ok = idx < B
+        vg = jnp.take_along_axis(v_scr[:], jnp.minimum(idx, B - 1), axis=1)
+        v_scr[:] = jnp.where(ok, vg, NEG_INF)
+
+    t0 = c * C
+    neg_col = jnp.full((R_TILE, 1), NEG_INF, jnp.float32)
+    is_chunk0 = c == 0
+    tmask = tlen - t0  # (R_TILE, 1): in-chunk sample s is active iff s < tmask
+
+    # One fori_loop over the chunk, fully unrolled by Mosaic; DP state and the
+    # bit-pack register ride the loop carry (vregs), decisions flush to the
+    # output block every 32 steps.
+    def body(s, carry):
+        v, pack = carry
+        x_col = x_ref[:, pl.ds(s, 1)]
+        diff = x_col - mu
+        emit = em_const - diff * diff * inv2v
+        stay = v + log_p_stay
+        move = jnp.concatenate([neg_col, v[:, : B - 1]], axis=1) + log_p_move
+        bit = move > stay
+        best = jnp.maximum(stay, move)
+        is_first = jnp.logical_and(is_chunk0, s == 0)
+        v_new = jnp.where(is_first, emit, emit + best)
+        bit = jnp.logical_and(bit, jnp.logical_not(is_first))
+        active = s < tmask  # (R_TILE, 1)
+        v = jnp.where(active, v_new, v)
+        bit = jnp.logical_and(bit, active)
+        pack = pack | (bit.astype(jnp.int32) << (s % 32))
+
+        @pl.when(s % 32 == 31)
+        def _():
+            dec_ref[pl.ds(s // 32, 1)] = pack.reshape(1, R_TILE, B)
+
+        pack = jnp.where(s % 32 == 31, jnp.zeros_like(pack), pack)
+        return v, pack
+
+    v, _ = jax.lax.fori_loop(
+        0, C, body,
+        (v_scr[:], jnp.zeros((R_TILE, B), jnp.int32)),
+        unroll=unroll,
+    )
+
+    # chunk-end renormalization: shift per-read constants into the accumulator
+    m = jnp.max(v, axis=1, keepdims=True)
+    m = jnp.where(m > NEG_INF / 2, m, 0.0)
+    v_scr[:] = v - m
+    acc = acc_scr[:] + m
+    acc_scr[:] = acc
+    vout_ref[:] = v - m
+    accout_ref[:] = acc
+
+
+def viterbi_fill_pallas(
+    x: jax.Array,          # (R, T) f32
+    t_len: jax.Array,      # (R,) i32
+    mu_band: jax.Array,    # (n_chunks, R, B) f32 — chunk-major for TPU block tiling
+    sigma_band: jax.Array, # (n_chunks, R, B) f32
+    lo: jax.Array,         # (n_chunks, R, 1) i32
+    delta: jax.Array,      # (n_chunks, R, 1) i32
+    n_ref: jax.Array,      # (R,) i32
+    cfg: AlignConfig,
+    interpret: bool = False,
+):
+    """Run the fill kernel. Returns (decs (T//32, R, B) i32, V (R, B), acc (R,))."""
+    R, T = x.shape
+    B = cfg.band_width
+    C = cfg.signal_chunk
+    assert R % cfg.read_tile == 0, f"batch must be a multiple of {cfg.read_tile} reads"
+    assert T % C == 0 and C % 32 == 0
+    assert not cfg.use_skip, "pallas path does not support skip; use scan path"
+    n_chunks = T // C
+    assert mu_band.shape == (n_chunks, R, B)
+
+    R_TILE = cfg.read_tile
+    kernel = functools.partial(
+        _fill_kernel,
+        chunk_size=C,
+        band_width=B,
+        log_p_stay=cfg.log_p_stay,
+        log_p_move=cfg.log_p_move,
+        r_tile=R_TILE,
+        unroll=cfg.kernel_unroll,
+    )
+    grid = (R // R_TILE, n_chunks)
+    decs, v_fin, acc_fin = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R_TILE, C), lambda r, c: (r, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_TILE, B), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_TILE, B), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_TILE, 1), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_TILE, 1), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_TILE, 1), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_TILE, 1), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C // 32, R_TILE, B), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_TILE, B), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_TILE, 1), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T // 32, R, B), jnp.int32),
+            jax.ShapeDtypeStruct((R, B), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_TILE, B), jnp.float32),
+            pltpu.VMEM((R_TILE, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * R * T * B,
+            bytes_accessed=int(x.size * 4 + mu_band.size * 8 + (T // 32) * R * B * 4),
+            transcendentals=R * n_chunks * B,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        mu_band,
+        sigma_band,
+        lo,
+        delta,
+        t_len.reshape(R, 1).astype(jnp.int32),
+        n_ref.reshape(R, 1).astype(jnp.int32),
+    )
+    return decs, v_fin, acc_fin[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def backtrack_from_bits(
+    decs: jax.Array,    # (T//32, R, B) i32 packed move-bits
+    lo: jax.Array,      # (R, n_chunks) i32
+    delta: jax.Array,   # (R, n_chunks) i32
+    j_end: jax.Array,   # (R,) i32
+    chunk_size: int,
+) -> jax.Array:
+    """Recover per-sample reference positions from packed decision bits.
+
+    A reverse lax.scan with one (R,)-gather per step; padding steps are
+    identity because their bits are 0 (stay) and their band never moves.
+    Returns path (R, T) int32.
+    """
+    Tw, R, B = decs.shape
+    T = Tw * 32
+    C = chunk_size
+
+    def step(j, t):
+        word = jax.lax.dynamic_index_in_dim(decs, t // 32, axis=0, keepdims=False)
+        j_safe = jnp.clip(j, 0, B - 1)
+        bits = jnp.take_along_axis(word, j_safe[:, None].astype(jnp.int32), axis=1)[:, 0]
+        adv = (bits >> (t % 32)) & 1
+        # band advance between t-1 and t (nonzero only at chunk boundaries)
+        c = t // C
+        is_boundary = (t % C) == 0
+        d = jnp.where(
+            is_boundary,
+            jax.lax.dynamic_index_in_dim(delta.T, c, axis=0, keepdims=False),
+            0,
+        )
+        j_prev = j + d - adv
+        lo_prev = jax.lax.dynamic_index_in_dim(lo.T, (t - 1) // C, axis=0, keepdims=False)
+        return j_prev.astype(jnp.int32), (lo_prev + j_prev).astype(jnp.int32)
+
+    j_end = j_end.astype(jnp.int32)
+    _, path_rev = jax.lax.scan(step, j_end, jnp.arange(T - 1, 0, -1))
+    path_body = jnp.flip(path_rev, axis=0).T  # (R, T-1): positions at t=0..T-2
+    lo_last = jax.lax.dynamic_index_in_dim(lo.T, (T - 1) // C, axis=0, keepdims=False)
+    pos_last = (lo_last + j_end)[:, None]
+    return jnp.concatenate([path_body, pos_last], axis=1)
+
+
+def gather_band_levels_jax(mu, sigma, lo, band_width):
+    """Device-side band-slice pregather (jittable version of sched.gather_band_levels)."""
+    R, N = mu.shape
+    n_chunks = lo.shape[1]
+    B = band_width
+    idx = lo[:, :, None] + jnp.arange(B, dtype=jnp.int32)[None, None, :]
+    idx2 = idx.reshape(R, n_chunks * B)
+    ok = idx2 < N
+    safe = jnp.minimum(idx2, N - 1)
+    mu_b = jnp.where(ok, jnp.take_along_axis(mu, safe, axis=1), 0.0)
+    sg_b = jnp.where(ok, jnp.take_along_axis(sigma, safe, axis=1), 1.0)
+    # chunk-major layout for the kernel's (1, R_TILE, B) blocks
+    return (
+        mu_b.reshape(R, n_chunks, B).transpose(1, 0, 2).astype(jnp.float32),
+        sg_b.reshape(R, n_chunks, B).transpose(1, 0, 2).astype(jnp.float32),
+    )
+
+
+def pallas_viterbi_batch(
+    x, t_len, mu, sigma, n_ref, lo, delta, cfg: AlignConfig,
+    interpret: bool = False, with_path: bool = True,
+):
+    """High-level jittable wrapper: pregather → fill kernel → score (→ path).
+
+    Same contract as banded_dp.banded_viterbi_batch but taking chunked bands
+    (lo/delta per chunk, from sched.build_chunked_bands).
+    """
+    R, T = x.shape
+    B = cfg.band_width
+    mu_band, sg_band = gather_band_levels_jax(mu, sigma, lo, B)
+    n_chunks = lo.shape[1]
+    lo_cm = lo.T.reshape(n_chunks, R, 1).astype(jnp.int32)
+    dl_cm = delta.T.reshape(n_chunks, R, 1).astype(jnp.int32)
+    decs, v_fin, acc = viterbi_fill_pallas(
+        x, t_len, mu_band, sg_band, lo_cm, dl_cm, n_ref, cfg, interpret=interpret
+    )
+    lane = jnp.arange(B, dtype=jnp.int32)[None, :]
+    i_fin = lo[:, -1][:, None] + lane
+    v_valid = jnp.where(i_fin < n_ref[:, None], v_fin, NEG_INF)
+    j_end = jnp.argmax(v_valid, axis=1).astype(jnp.int32)
+    score = acc + jnp.take_along_axis(v_valid, j_end[:, None], axis=1)[:, 0]
+    if not with_path:
+        return ViterbiResult(score=score, path=None, final_j=j_end), decs
+    path = backtrack_from_bits(decs, lo, delta, j_end, cfg.signal_chunk)
+    return ViterbiResult(score=score, path=path, final_j=j_end), decs

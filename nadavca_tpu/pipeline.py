@@ -1,0 +1,248 @@
+"""Per-batch orchestration: reads → anchored, padded batches → device DP → SNPs.
+
+This is the rebuild of the reference's L2 orchestration (SURVEY.md §3.1/§3.5):
+host does ingest, normalization, anchoring, window/level precompute and batch
+padding; ONE device_put ships the batch; the device runs banded Viterbi (Pallas
+on TPU, lax.scan elsewhere), segment statistics, base-substitution likelihoods
+and the genome scatter-add as one jitted program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anchor import Anchor, SeedIndex, anchor_basecall, signal_anchor_path
+from .config import AlignConfig
+from .genome import Genome, kmer_ids
+from .kmer_model import KmerModel
+from .ops import banded_dp, pallas_dp
+from .sched.bands import ChunkedBands, build_chunked_bands
+
+
+@dataclasses.dataclass
+class ReadRecord:
+    """A read after host-side preprocessing, ready for batching."""
+
+    read_id: str
+    signal: np.ndarray        # (T,) float32 normalized
+    anchor: Anchor
+    anchor_path: np.ndarray   # (T,) float64 window k-mer position per sample
+    window_codes: np.ndarray  # (L,) int8
+
+
+@dataclasses.dataclass
+class Batch:
+    """Padded device-ready batch plus host-side metadata."""
+
+    x: np.ndarray             # (R, T) f32
+    t_len: np.ndarray         # (R,) i32
+    mu: np.ndarray            # (R, N) f32
+    sigma: np.ndarray         # (R, N) f32
+    n_ref: np.ndarray         # (R,) i32
+    bands: ChunkedBands
+    codes: np.ndarray         # (R, L) i32 window bases (4 = pad)
+    ids: np.ndarray           # (R, N) i32 kmer ids (-1 = pad)
+    window_start: np.ndarray  # (R,) i32 genome coord of window start
+    window_len: np.ndarray    # (R,) i32 = L true bases
+    strand: np.ndarray        # (R,) i32
+    read_ids: List[str]
+    n_reads: int              # true (unpadded) read count
+
+    @property
+    def shapes(self):
+        return (self.x.shape, self.mu.shape)
+
+
+def preprocess_read(
+    signal: np.ndarray,
+    basecall: str,
+    move_index: np.ndarray,
+    index: SeedIndex,
+    genome: Genome,
+    read_id: str = "?",
+    model: Optional[KmerModel] = None,
+) -> Optional[ReadRecord]:
+    """Anchor one normalized read; None if anchoring fails.
+
+    When a pore model is given, the read is re-calibrated against it: a
+    trimmed linear fit of the signal onto the expected levels along the
+    anchor path refines the raw median/MAD normalization, whose shift is
+    biased by the window's level composition (a read over a high-level
+    region gets its whole signal shifted by the local level median — a
+    systematic, cross-read-correlated error that fabricates confident SNPs).
+    """
+    a = anchor_basecall(index, basecall)
+    if a is None:
+        return None
+    window = genome.window(a.contig, a.ref_start, a.ref_end, a.strand)
+    path = signal_anchor_path(a, move_index, len(signal))
+    signal = np.asarray(signal, np.float32)
+    if model is not None:
+        mu, _ = model.expected_signal(window)
+        if len(mu) > 1:
+            ap = np.clip(np.round(path).astype(np.int64), 0, len(mu) - 1)
+            pred = mu[ap].astype(np.float64)
+            x = signal.astype(np.float64)
+            keep = np.ones(len(x), bool)
+            for _ in range(2):  # fit, trim outliers, refit
+                vp = pred[keep].var()
+                if vp < 1e-6 or keep.sum() < 16:
+                    break
+                aa = np.cov(pred[keep], x[keep])[0, 1] / vp
+                bb = x[keep].mean() - aa * pred[keep].mean()
+                resid = x - (aa * pred + bb)
+                rs = resid[keep].std()
+                # accept only a sane, well-correlated fit — a decorrelated
+                # anchor (bad basecall / misanchor) would otherwise drive the
+                # slope toward 0 and exploding 1/a scale corrections
+                r2 = 1.0 - (resid[keep] ** 2).mean() / max(x[keep].var(), 1e-9)
+                if 0.5 < aa < 2.0 and r2 > 0.5:
+                    signal = ((x - bb) / aa).astype(np.float32)
+                keep = np.abs(resid) < 3.0 * rs
+    return ReadRecord(
+        read_id=read_id,
+        signal=signal,
+        anchor=a,
+        anchor_path=path,
+        window_codes=window,
+    )
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _bucket(v: int, edges) -> int:
+    for e in edges:
+        if v <= e:
+            return e
+    return _round_up(v, edges[-1] if edges else 1024)
+
+
+def assemble_batch(
+    records: Sequence[ReadRecord],
+    model: KmerModel,
+    cfg: AlignConfig,
+    pad_reads_to: Optional[int] = None,
+) -> Batch:
+    """Pad preprocessed reads into one device batch.
+
+    Shapes are canonicalized — R rounds up to the read tile, T to the signal
+    bucket edges, L to a 256 multiple — so repeated batches hit the same
+    compiled executable (SURVEY.md §7.3 item 3: bucketed padding for shape
+    stability).
+    """
+    n = len(records)
+    tile = max(cfg.read_tile, 8)
+    R = pad_reads_to or _round_up(max(n, 1), tile)
+    assert R % tile == 0 and R >= n, (R, tile, n)
+    T_raw = max(len(r.signal) for r in records)
+    T = _round_up(_bucket(T_raw, cfg.bucket_edges), cfg.signal_chunk)
+    L = _round_up(max(len(r.window_codes) for r in records), 256)
+    N = L - model.k + 1
+
+    x = np.zeros((R, T), np.float32)
+    t_len = np.zeros(R, np.int32)
+    mu = np.zeros((R, N), np.float32)
+    sigma = np.ones((R, N), np.float32)
+    n_ref = np.zeros(R, np.int32)
+    anchors = np.zeros((R, T), np.float64)
+    codes = np.full((R, L), 4, np.int32)
+    ids = np.full((R, N), -1, np.int32)
+    wstart = np.zeros(R, np.int32)
+    wlen = np.zeros(R, np.int32)
+    strand = np.ones(R, np.int32)
+    read_ids = []
+
+    for r, rec in enumerate(records):
+        t = len(rec.signal)
+        x[r, :t] = rec.signal
+        t_len[r] = t
+        m, s = model.expected_signal(rec.window_codes)
+        mu[r, : len(m)] = m
+        sigma[r, : len(m)] = s
+        n_ref[r] = len(m)
+        anchors[r, :t] = rec.anchor_path
+        anchors[r, t:] = rec.anchor_path[-1] if t else 0
+        lw = len(rec.window_codes)
+        codes[r, :lw] = rec.window_codes
+        ids[r, : len(m)] = kmer_ids(rec.window_codes, model.k)
+        wstart[r] = rec.anchor.ref_start
+        wlen[r] = lw
+        strand[r] = rec.anchor.strand
+        read_ids.append(rec.read_id)
+    # padded rows: minimally alive so the DP is well-defined
+    t_len[n:] = 1
+    n_ref[n:] = 1
+
+    bands = build_chunked_bands(anchors, t_len, n_ref, cfg.band_width, cfg.signal_chunk)
+    return Batch(
+        x=x, t_len=t_len, mu=mu, sigma=sigma, n_ref=n_ref, bands=bands,
+        codes=codes, ids=ids, window_start=wstart, window_len=wlen,
+        strand=strand, read_ids=read_ids, n_reads=n,
+    )
+
+
+def device_backend() -> str:
+    return jax.default_backend()
+
+
+def align_batch(
+    batch: Batch,
+    model: KmerModel,
+    cfg: AlignConfig,
+    backend: str = "auto",
+    interpret: bool = False,
+):
+    """Run the device part on one batch: DP + stats + base log-likelihoods.
+
+    backend: "auto" (pallas on TPU, scan otherwise), "pallas", "scan".
+    Returns dict of device arrays: score (R,), path (R, T), stats (R, N, 3),
+    base_loglik (R, L, 4).
+    """
+    if backend == "auto":
+        backend = "pallas" if device_backend() == "tpu" and not cfg.use_skip else "scan"
+
+    x = jnp.asarray(batch.x)
+    t_len = jnp.asarray(batch.t_len)
+    mu = jnp.asarray(batch.mu)
+    sigma = jnp.asarray(batch.sigma)
+    n_ref = jnp.asarray(batch.n_ref)
+
+    if backend == "pallas":
+        res, _decs = pallas_dp.pallas_viterbi_batch(
+            x, t_len, mu, sigma, n_ref,
+            jnp.asarray(batch.bands.lo), jnp.asarray(batch.bands.delta),
+            cfg, interpret=interpret,
+        )
+    elif backend == "scan":
+        lo_full = jnp.asarray(batch.bands.expand(batch.x.shape[1]))
+        res = banded_dp.banded_viterbi_batch(x, t_len, mu, sigma, n_ref, lo_full, cfg)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    N = batch.mu.shape[1]
+    stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
+    if cfg.snp_rescore == "local":
+        base_ll = banded_dp.base_loglik_local_batch(
+            x, res.path, t_len,
+            jnp.asarray(batch.codes), jnp.asarray(batch.ids),
+            jnp.asarray(model.level_mean), jnp.asarray(model.level_std),
+            model.k, cfg, t_w=cfg.snp_local_window,
+        )
+    else:
+        base_ll = banded_dp.base_loglik_batch(
+            jnp.asarray(batch.codes), jnp.asarray(batch.ids), stats,
+            jnp.asarray(model.level_mean), jnp.asarray(model.level_std), model.k,
+        )
+    return {
+        "score": res.score,
+        "path": res.path,
+        "stats": stats,
+        "base_loglik": base_ll,
+    }

@@ -1,0 +1,57 @@
+"""Checkpoint/resume of SNP accumulator state (SURVEY.md §5).
+
+The reference has no checkpointing (batch tool, rerun from scratch). The
+rebuild periodically persists (processed-read manifest, per-contig locus
+accumulators) so a preempted long run resumes from the last merge: reload the
+accumulators, skip reads already in the manifest. Plain npz + a text manifest;
+writes are atomic (tmp + rename) so a crash mid-write never corrupts the
+checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Dict, Iterable, Set, Tuple
+
+import numpy as np
+
+
+def save_checkpoint(
+    path: str,
+    accs: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    processed_read_ids: Iterable[str],
+) -> None:
+    """Atomically persist accumulators + manifest to ``path`` (.npz)."""
+    payload = {}
+    names = sorted(accs)
+    payload["_contigs"] = np.asarray(json.dumps(names))
+    for name in names:
+        acc, cov = accs[name]
+        payload[f"acc_{name}"] = np.asarray(acc)
+        payload[f"cov_{name}"] = np.asarray(cov)
+    payload["_manifest"] = np.asarray(sorted(set(processed_read_ids)))
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+    os.close(fd)
+    try:
+        np.savez(tmp, **payload)
+        # np.savez appends .npz to names without it
+        tmp_written = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(tmp_written, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str):
+    """Returns (accs dict, processed_read_ids set); empty if file is absent."""
+    if not os.path.exists(path):
+        return {}, set()
+    with np.load(path, allow_pickle=False) as z:
+        names = json.loads(str(z["_contigs"]))
+        accs = {n: (z[f"acc_{n}"].copy(), z[f"cov_{n}"].copy()) for n in names}
+        manifest: Set[str] = set(str(x) for x in z["_manifest"])
+    return accs, manifest
