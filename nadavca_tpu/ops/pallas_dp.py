@@ -333,5 +333,99 @@ def pallas_viterbi_batch(
     score = acc + jnp.take_along_axis(v_valid, j_end[:, None], axis=1)[:, 0]
     if not with_path:
         return ViterbiResult(score=score, path=None, final_j=j_end), decs
-    path = backtrack_from_bits(decs, lo, delta, j_end, cfg.signal_chunk)
+    path = backtrack_pallas(decs, lo, delta, j_end, cfg.signal_chunk,
+                            interpret=interpret)
     return ViterbiResult(score=score, path=path, final_j=j_end), decs
+
+
+# --------------------------------------------------------------------------
+# Pallas backtrack: the XLA scan version still pays ~0.5 us/step in per-step
+# HBM round-trips; here each 32-step decision slab is processed on registers
+# with the pointer carried in scratch across the (reversed) word grid.
+# --------------------------------------------------------------------------
+
+def _backtrack_kernel(
+    dec_ref,     # (1, R, B) i32: decision word slab (word w = Tw-1-g)
+    lo_cur_ref,  # (1, R, 1) i32: band lo of this word's chunk
+    lo_prev_ref, # (1, R, 1) i32: band lo of the previous chunk
+    dl_ref,      # (1, R, 1) i32: band delta of this word's chunk
+    jend_ref,    # (1, R) i32: argmax band slot (consumed at g == 0)
+    pos_ref,     # (32, R) i32 out: position at time t-1 for t = 32w .. 32w+31
+    j_scr,       # (1, R) i32 carried pointer
+    *,
+    n_words: int,
+    chunk_size: int,
+    band_width: int,
+):
+    g = pl.program_id(0)
+    w = n_words - 1 - g
+    B = band_width
+    C = chunk_size
+
+    @pl.when(g == 0)
+    def _():
+        j_scr[:] = jend_ref[:]
+
+    word = dec_ref[0]                       # (R, B)
+    lo_cur = lo_cur_ref[0, :, 0]            # (R,)
+    lo_prev = lo_prev_ref[0, :, 0]
+    dl = dl_ref[0, :, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, word.shape, 1)
+    is_boundary = (w * 32) % C == 0
+
+    j = j_scr[0]                            # (R,)
+    rows = []
+    for s in range(31, -1, -1):
+        onehot = lane == j[:, None]
+        adv = jnp.sum(jnp.where(onehot, (word >> s) & 1, 0), axis=1)
+        d = jnp.where(jnp.logical_and(is_boundary, s == 0), dl, 0)
+        j = j + d - adv
+        lo_used = jnp.where(jnp.logical_and(is_boundary, s == 0), lo_prev, lo_cur)
+        rows.append(lo_used + j)            # position at time t-1, t = 32w+s
+    # rows are ordered s = 31 .. 0; store as t-ascending rows 0..31
+    pos_ref[:] = jnp.stack(rows[::-1]).astype(jnp.int32)
+    j_scr[0] = j
+
+
+def backtrack_pallas(decs, lo, delta, j_end, chunk_size: int,
+                     interpret: bool = False):
+    """Pallas replacement for backtrack_from_bits. Same contract."""
+    Tw, R, B = decs.shape
+    T = Tw * 32
+    C = chunk_size
+    n_chunks = lo.shape[1]
+    kernel = functools.partial(
+        _backtrack_kernel, n_words=Tw, chunk_size=C, band_width=B
+    )
+    lo_cm = lo.T[:, :, None].astype(jnp.int32)   # (n_chunks, R, 1)
+    dl_cm = delta.T[:, :, None].astype(jnp.int32)
+
+    def chunk_of(g):
+        w = Tw - 1 - g
+        return (w * 32) // C
+
+    pos = pl.pallas_call(
+        kernel,
+        grid=(Tw,),
+        in_specs=[
+            pl.BlockSpec((1, R, B), lambda g: (Tw - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda g: (chunk_of(g), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda g: (jnp.maximum(chunk_of(g) - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda g: (chunk_of(g), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((32, R), lambda g: (Tw - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, R), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, R), jnp.int32)],
+        interpret=interpret,
+    )(decs, lo_cm, lo_cm, dl_cm, j_end.reshape(1, R).astype(jnp.int32))
+
+    # row t of pos holds the position at time t-1 ⇒ path[0..T-2] = rows 1..T-1
+    path_body = pos[1:T].T                  # (R, T-1)
+    pos_last = (lo[:, -1] + j_end)[:, None].astype(jnp.int32)
+    return jnp.concatenate([path_body, pos_last], axis=1)

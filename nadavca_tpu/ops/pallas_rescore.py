@@ -129,7 +129,13 @@ def base_loglik_local_pallas(
     """(R, L, 4) base log-likelihoods — Pallas version of
     banded_dp.base_loglik_local_batch (same contract, same results)."""
     R, T = x.shape
-    L = window_codes.shape[1]
+    L_in = window_codes.shape[1]
+    # pad the position axis up front so the shear/rescore kernels always get
+    # lane-aligned tiles (padded positions carry base code 4 ⇒ masked out)
+    L = -(-L_in // LT) * LT
+    if L != L_in:
+        window_codes = jnp.pad(window_codes, ((0, 0), (0, L - L_in)),
+                               constant_values=4)
     N = ids.shape[1]
 
     # ---- window bounds from the global path (same math as the XLA version)
@@ -160,13 +166,25 @@ def base_loglik_local_pallas(
     E = jnp.take_along_axis(seg_end, jnp.clip(p_hi, 0, N - 1), axis=1)
     W = jnp.clip(E - S, 0, t_w)
 
-    # ---- gathered inputs for the kernel
-    samp = S[:, :, None] + jnp.arange(t_w, dtype=jnp.int32)[None, None, :]
-    samp_safe = jnp.clip(samp, 0, T - 1)
-    xs = jnp.take_along_axis(
-        x[:, None, :], samp_safe.reshape(R, L * t_w)[:, None, :], axis=2
-    ).reshape(R, L, t_w)
-    xs = jnp.transpose(xs, (2, 0, 1))                 # (t_w, R, L)
+    # ---- xs: per-position sample windows
+    span = 4096
+    S_c = jnp.clip(S, 0, T - 1)
+    if (not interpret and T >= span + 256 and T % 128 == 0
+            and R % RT == 0 and L % LT == 0):
+        # shear-via-MXU kernel (XLA take_along_axis measured 1157 ms here);
+        # positions whose tile spread exceeds the slab are masked out
+        S_tiles = S_c.reshape(R, L // LT, LT)
+        base = shear_slab_base(S_c, T, span)
+        spread_ok = (S_tiles - base[:, :, None]) <= (span - 1)
+        W = jnp.where(spread_ok.reshape(R, L), W, 0)
+        xs = shear_gather_pallas(x, S_c, t_w, span=span)
+    else:
+        samp = S_c[:, :, None] + jnp.arange(t_w, dtype=jnp.int32)[None, None, :]
+        samp_safe = jnp.clip(samp, 0, T - 1)
+        xs = jnp.take_along_axis(
+            x[:, None, :], samp_safe.reshape(R, L * t_w)[:, None, :], axis=2
+        ).reshape(R, L, t_w)
+        xs = jnp.transpose(xs, (2, 0, 1))             # (t_w, R, L)
 
     j_id = jnp.arange(k, dtype=jnp.int32)[None, None, :]
     p = p_lo[:, :, None] + j_id                        # (R, L, k)
@@ -217,4 +235,94 @@ def base_loglik_local_pallas(
     )
     out = scores - ref_score
     all_ok = valid_i & (W > 0) & jnp.all(jnp.where(j_ok, ids_ok, True), axis=2)
-    return jnp.where(all_ok[:, :, None], out, 0.0).astype(jnp.float32)
+    out = jnp.where(all_ok[:, :, None], out, 0.0).astype(jnp.float32)
+    return out[:, :L_in, :]
+
+
+# --------------------------------------------------------------------------
+# Shear gather: xs[s, r, i] = x[r, S[r, i] + s] built with one-hot matmuls on
+# the MXU. The XLA take_along_axis form of this gather measured 1157 ms at
+# bench shapes (TPU gathers serialize per element); as a matmul against a
+# 0/1 shear matrix it is exact (rows of 0s plus a single 1 ⇒ f32 products
+# are exact) and runs at MXU speed (~1 TFLOP total ⇒ tens of ms).
+# --------------------------------------------------------------------------
+
+def shear_slab_base(S, T: int, span: int, lt: int = LT):
+    """Aligned slab base per (read, position-tile) — shared by kernel & mask."""
+    R, L = S.shape
+    S_tiles = S.reshape(R, L // lt, lt)
+    base = jnp.clip(jnp.min(S_tiles, axis=2), 0, T - span - 256)
+    return (base // 128) * 128
+
+
+def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
+                        interpret: bool = False):
+    """xs[s, r, i] = x[r, S[r, i] + s] — (t_w, R, L) f32.
+
+    Caller contract: 0 <= S and the per-(read, 128-position-tile) spread
+    max(S_tile) - min(S_tile) must be < span (positions violating it must be
+    masked out by the caller, see base_loglik_local_pallas). x rows must be
+    at least span + t_w long (pad with zeros).
+    """
+    R, T = x.shape
+    L = S.shape[1]
+    lt = LT
+    pad_w = 256  # slab width = span + pad_w (multiple of 128; t_w <= pad_w - 8)
+    assert R % rt == 0 and L % lt == 0
+    assert T >= span + pad_w, (T, span)
+    assert t_w % 8 == 0 and t_w <= pad_w - 8
+    assert span % 128 == 0 and T % 128 == 0
+
+    # per-(row-tile, position-tile) slab base: clipped so the slab fits and
+    # floored to a 128 multiple (Mosaic requires aligned dynamic lane offsets)
+    base = shear_slab_base(S, T, span, lt)                        # (R, L/lt)
+    # scalar prefetch wants a flat layout indexed by grid: (L/lt, R)
+    base_sp = base.T.reshape(L // lt, R).astype(jnp.int32)
+
+    grid = (R // rt, L // lt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rt, T), lambda r, l, *_: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, lt), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (t_w, rt, lt), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM
+        ),
+    )
+
+    def kernel_wrap(sp_ref, x_ref, s_ref, xs_ref):
+        r = pl.program_id(0)
+        l = pl.program_id(1)
+
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (span, lt), 0)
+        for rr in range(rt):
+            base_v = pl.multiple_of(sp_ref[l, r * rt + rr], 128)
+            slab = x_ref[rr, pl.ds(base_v, span + pad_w)].reshape(1, span + pad_w)
+            d = (s_ref[rr, :] - base_v).reshape(1, lt)
+            m0 = (u_iota == d).astype(jnp.float32)
+            # 8 rolled copies (all lane-offset 0, so the concat is legal);
+            # wrapped tail lanes are never read because d + t_w stays inside
+            # the slab (see the caller's spread mask)
+            width = span + pad_w
+            slab8 = jnp.concatenate(
+                [pltpu.roll(slab, (width - ss) % width, axis=1)
+                 for ss in range(8)], axis=0
+            )                                               # (8, span + pad_w)
+            for s0 in range(0, t_w, 8):
+                rows = slab8[:, s0 : s0 + span]
+                blk = jnp.dot(rows, m0, preferred_element_type=jnp.float32)
+                xs_ref[pl.ds(s0, 8), rr, :] = blk
+
+    return pl.pallas_call(
+        kernel_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_w, R, L), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * L * t_w * span,
+            bytes_accessed=int(x.size * 4 + R * L * (t_w + 1) * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(base_sp, x, S)
