@@ -45,22 +45,45 @@ def _iter_batches(records, batch_reads):
         yield records[i : i + batch_reads]
 
 
-def _preprocess_all(args, cfg, genome, index, metrics, model=None):
-    records = []
-    skipped = 0
-    for raw in fast5mod.iter_fast5_dir(args.fast5_dir):
+def _iter_raw_reads(directory):
+    yield from fast5mod.iter_fast5_dir(directory)
+    from .io import pod5 as pod5mod
+
+    if pod5mod.HAVE_POD5:
+        yield from pod5mod.iter_pod5_dir(directory)
+
+
+def _preprocess_all(args, cfg, genome, index, metrics, model=None,
+                    skip_ids=None):
+    """Ingest + anchor all reads; per-read work fans out over a thread pool
+    (the reference's only parallelism was a multiprocessing pool over reads —
+    SURVEY.md "Per-read parallelism" row; here host threads feed the device)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    skip_ids = skip_ids or set()
+    workers = max(1, getattr(args, "workers", 1))
+
+    def work(raw):
         if raw.basecall is None or raw.move_index is None:
-            skipped += 1
-            continue
+            return None
         sig = fast5mod.normalize_signal(raw.signal_pa, cfg.normalization)
-        rec = preprocess_read(sig, raw.basecall, raw.move_index, index, genome,
-                              raw.read_id, model=model)
-        if rec is None:
-            skipped += 1
-            continue
-        records.append(rec)
+        return preprocess_read(sig, raw.basecall, raw.move_index, index,
+                               genome, raw.read_id, model=model)
+
+    raws = [r for r in _iter_raw_reads(args.fast5_dir)
+            if r.read_id not in skip_ids]
+    metrics.count("reads_resumed_skip", 0)
+    if skip_ids:
+        metrics.count("reads_resumed_skip",
+                      sum(1 for _ in skip_ids))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            results = list(pool.map(work, raws))
+    else:
+        results = [work(r) for r in raws]
+    records = [r for r in results if r is not None]
     metrics.count("reads_ingested", len(records))
-    metrics.count("reads_skipped", skipped)
+    metrics.count("reads_skipped", len(results) - len(records))
     return records
 
 
@@ -107,20 +130,50 @@ def cmd_align(args) -> int:
 def cmd_snp(args) -> int:
     import jax.numpy as jnp
 
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.profiling import trace
+
     cfg = _load_cfg(args)
     model = _load_model(args, cfg)
     genome = Genome.from_fasta(args.reference)
     index = SeedIndex(genome)
     metrics = Metrics()
-    records = _preprocess_all(args, cfg, genome, index, metrics, model=model)
+
+    # resume from checkpoint if present
+    ckpt_accs, done_ids = ({}, set())
+    if args.checkpoint:
+        ckpt_accs, done_ids = load_checkpoint(args.checkpoint)
+        if done_ids:
+            print(f"resuming: {len(done_ids)} reads already merged",
+                  file=sys.stderr)
+    records = _preprocess_all(args, cfg, genome, index, metrics, model=model,
+                              skip_ids=done_ids)
 
     # per-contig accumulators (host keeps a dict; device does each batch)
     contigs = {c.name: len(c) for c in genome}
-    accs = {n: callmod.make_accumulators(l, with_votes=True)
-            for n, l in contigs.items()}
+    accs = {}
+    for n, l in contigs.items():
+        if n in ckpt_accs:
+            a, c, v = (jnp.asarray(ckpt_accs[n][0]), jnp.asarray(ckpt_accs[n][1]),
+                       jnp.asarray(ckpt_accs[n][2]) if len(ckpt_accs[n]) > 2
+                       else jnp.zeros((l, 4), jnp.int32))
+            accs[n] = (a, c, v)
+        else:
+            accs[n] = callmod.make_accumulators(l, with_votes=True)
+
+    def save_ckpt():
+        if args.checkpoint:
+            import numpy as _np
+            save_checkpoint(
+                args.checkpoint,
+                {n: (_np.asarray(a), _np.asarray(c), _np.asarray(v))
+                 for n, (a, c, v) in accs.items()},
+                done_ids,
+            )
 
     t0 = time.time()
     n_done = 0
+    n_batches = 0
     for group in _iter_batches(records, args.batch_reads):
         batch = assemble_batch(group, model, cfg)
         out = align_batch(batch, model, cfg, backend=args.backend)
@@ -141,7 +194,12 @@ def cmd_snp(args) -> int:
             )
             accs[cname] = (acc, cov, votes)
         n_done += batch.n_reads
+        n_batches += 1
+        done_ids.update(batch.read_ids[: batch.n_reads])
         metrics.count("reads_called", batch.n_reads)
+        if args.checkpoint and n_batches % args.checkpoint_every == 0:
+            save_ckpt()
+    save_ckpt()
     all_calls: List[callmod.SnpCall] = []
     for cname, (acc, cov, votes) in accs.items():
         all_calls.extend(
@@ -223,6 +281,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--batch-reads", type=int, default=256)
         sp.add_argument("--backend", default="auto",
                         choices=["auto", "pallas", "scan"])
+        sp.add_argument("--workers", type=int, default=2,
+                        help="host ingest/preprocess threads")
+        sp.add_argument("--profile", help="write a jax.profiler trace here")
 
     sa = sub.add_parser("align", help="signal→reference alignments per read")
     common(sa)
@@ -233,6 +294,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(ss)
     ss.add_argument("-o", "--output", required=True, help="output VCF path")
     ss.add_argument("--min-coverage", type=int, default=2)
+    ss.add_argument("--checkpoint", help="accumulator checkpoint path (resume)")
+    ss.add_argument("--checkpoint-every", type=int, default=8,
+                    help="save the checkpoint every N batches")
     ss.set_defaults(fn=cmd_snp)
 
     sm = sub.add_parser("simulate", help="generate synthetic fast5 test data")
@@ -252,10 +316,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     from .utils.cache import enable_compile_cache
+    from .utils.profiling import trace
 
     enable_compile_cache()
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    with trace(getattr(args, "profile", None)):
+        return args.fn(args)
 
 
 if __name__ == "__main__":

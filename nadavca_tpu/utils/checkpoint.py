@@ -28,9 +28,11 @@ def save_checkpoint(
     names = sorted(accs)
     payload["_contigs"] = np.asarray(json.dumps(names))
     for name in names:
-        acc, cov = accs[name]
-        payload[f"acc_{name}"] = np.asarray(acc)
-        payload[f"cov_{name}"] = np.asarray(cov)
+        arrs = accs[name]  # (acc, cov[, votes])
+        payload[f"acc_{name}"] = np.asarray(arrs[0])
+        payload[f"cov_{name}"] = np.asarray(arrs[1])
+        if len(arrs) > 2:
+            payload[f"votes_{name}"] = np.asarray(arrs[2])
     payload["_manifest"] = np.asarray(sorted(set(processed_read_ids)))
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
@@ -52,6 +54,11 @@ def load_checkpoint(path: str):
         return {}, set()
     with np.load(path, allow_pickle=False) as z:
         names = json.loads(str(z["_contigs"]))
-        accs = {n: (z[f"acc_{n}"].copy(), z[f"cov_{n}"].copy()) for n in names}
+        accs = {}
+        for n in names:
+            arrs = [z[f"acc_{n}"].copy(), z[f"cov_{n}"].copy()]
+            if f"votes_{n}" in z:
+                arrs.append(z[f"votes_{n}"].copy())
+            accs[n] = tuple(arrs)
         manifest: Set[str] = set(str(x) for x in z["_manifest"])
     return accs, manifest
