@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-BATCH_READS = 512     # reads per device batch
+BATCH_READS = 1024    # reads per device batch
 N_BATCHES = 4         # pipelined batches in the timed loop
 READ_LEN = 1000       # bases
 CPU_SAMPLE = 6        # reads timed on the CPU core
@@ -73,13 +73,27 @@ def build_workload(seed=0):
         ids[r, : len(m)] = kmer_ids(p.window_codes, model.k)
     bands = build_chunked_bands(anchors, t_len, n_ref, cfg.band_width,
                                 cfg.signal_chunk)
+    # genome-level substituted-level tables (built once per genome)
+    from nadavca_tpu.ops.subst_tables import build_subst_tables
+
+    tables = build_subst_tables(genome, model)
+    wstart = np.zeros(R, np.int32)
+    wlen = np.zeros(R, np.int32)
+    strand = np.ones(R, np.int32)
+    contigs = []
+    for r in range(R):
+        p = protos[r % len(protos)]
+        wstart[r] = p.ref_start
+        wlen[r] = len(p.window_codes)
+        contigs.append("ref")
+    woff = tables.window_offsets(contigs, wstart, wlen, strand)
     return cfg, model, protos, dict(
         x=x, t_len=t_len, mu=mu, sigma=sigma, n_ref=n_ref,
-        lo=bands.lo, delta=bands.delta, codes=codes, ids=ids,
-    )
+        lo=bands.lo, delta=bands.delta, codes=codes, ids=ids, woff=woff,
+    ), tables
 
 
-def bench_tpu(cfg, model, w):
+def bench_tpu(cfg, model, w, tables=None):
     import jax
     import jax.numpy as jnp
     from nadavca_tpu.ops import banded_dp, pallas_dp, pallas_rescore
@@ -96,7 +110,11 @@ def bench_tpu(cfg, model, w):
     mu_b = jnp.asarray(mu_b.transpose(1, 0, 2))
     sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
 
-    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids, mub, sgb):
+    tmu = tables.mu if tables is not None else None
+    tsg = tables.sg if tables is not None else None
+    tva = tables.valid if tables is not None else None
+
+    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids, woff, mub, sgb):
         if use_pallas:
             res, _ = pallas_dp.pallas_viterbi_batch(
                 x, t_len, mu, sigma, n_ref, lo, delta, cfg,
@@ -105,6 +123,8 @@ def bench_tpu(cfg, model, w):
             base_ll = pallas_rescore.base_loglik_local_pallas(
                 x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
                 t_w=cfg.snp_local_window,
+                tables_mu=tmu, tables_sg=tsg, tables_valid=tva,
+                window_off=woff,
             )
         else:
             T = x.shape[1]
@@ -121,7 +141,7 @@ def bench_tpu(cfg, model, w):
     f = jax.jit(step)
     args = tuple(jnp.asarray(w[k]) for k in
                  ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta",
-                  "codes", "ids")) + (mu_b, sg_b)
+                  "codes", "ids", "woff")) + (mu_b, sg_b)
     out = f(*args)
     np.asarray(out[0])  # warm compile + sync through the tunnel
     t0 = time.time()
@@ -160,13 +180,13 @@ def bench_cpu(cfg, model, protos, w):
 
 
 def main():
-    cfg, model, protos, w = build_workload()
+    cfg, model, protos, w, tables = build_workload()
     try:
         cpu_rps = bench_cpu(cfg, model, protos, w)
     except Exception as e:  # no toolchain — fall back to a conservative constant
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
         cpu_rps = float("nan")
-    tpu_rps, cells_per_s, backend = bench_tpu(cfg, model, w)
+    tpu_rps, cells_per_s, backend = bench_tpu(cfg, model, w, tables)
     vs = tpu_rps / cpu_rps if cpu_rps == cpu_rps else None
     print(
         f"[bench] backend={backend} tpu={tpu_rps:.1f} reads/s "

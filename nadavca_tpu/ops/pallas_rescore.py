@@ -125,6 +125,10 @@ def base_loglik_local_pallas(
     cfg: AlignConfig = AlignConfig(),
     t_w: int = 192,
     interpret: bool = False,
+    tables_mu: jax.Array = None,    # (2*Gp, k*4) genome subst tables (optional)
+    tables_sg: jax.Array = None,
+    tables_valid: jax.Array = None, # (2*Gp,) bool
+    window_off: jax.Array = None,   # (R,) i32 row offset per read
 ) -> jax.Array:
     """(R, L, 4) base log-likelihoods — Pallas version of
     banded_dp.base_loglik_local_batch (same contract, same results)."""
@@ -167,7 +171,7 @@ def base_loglik_local_pallas(
     W = jnp.clip(E - S, 0, t_w)
 
     # ---- xs: per-position sample windows
-    span = 4096
+    span = 2048
     S_c = jnp.clip(S, 0, T - 1)
     if (not interpret and T >= span + 256 and T % 128 == 0
             and R % RT == 0 and L % LT == 0):
@@ -186,29 +190,47 @@ def base_loglik_local_pallas(
         ).reshape(R, L, t_w)
         xs = jnp.transpose(xs, (2, 0, 1))             # (t_w, R, L)
 
-    j_id = jnp.arange(k, dtype=jnp.int32)[None, None, :]
-    p = p_lo[:, :, None] + j_id                        # (R, L, k)
-    j_ok = j_id < kk[:, :, None]
-    p_safe = jnp.clip(p, 0, N - 1)
-    ids_p = jnp.take_along_axis(
-        ids[:, None, :], p_safe.reshape(R, L * k)[:, None, :], axis=2
-    ).reshape(R, L, k)
-    ids_ok = ids_p >= 0
     ref_base = window_codes
-    off = i_idx[:, :, None] - p
-    inside = (off >= 0) & (off < k)
-    pow4 = jnp.asarray([4 ** (k - 1 - o) for o in range(k)], jnp.int32)
-    w4 = jnp.where(inside, pow4[jnp.clip(off, 0, k - 1)], 0)
-    b_id = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
-    nid = ids_p[..., None] + (b_id - ref_base[:, :, None, None]) * w4[..., None]
-    nid = jnp.clip(nid, 0, level_mean.shape[0] - 1)    # (R, L, k, 4)
-    ids_p = jnp.where(ids_ok, ids_p, 0)
-    mu_s = level_mean[nid]
-    sg_s = level_std[nid]
-    em = -jnp.log(sg_s) - _HALF_LOG_2PI
-    iv = 0.5 / (sg_s * sg_s)
-    dead = ~(j_ok & ids_ok)
-    em = jnp.where(dead[..., None], NEG_INF, em)
+    if tables_mu is not None:
+        # genome-level substituted tables: one contiguous slice per read
+        # replaces ~200 ms of per-batch table gathers; read-local edge
+        # positions (clipped windows) are masked below (kk == k required)
+        def one(o):
+            return (jax.lax.dynamic_slice(tables_mu, (o, 0), (L, k * 4)),
+                    jax.lax.dynamic_slice(tables_sg, (o, 0), (L, k * 4)),
+                    jax.lax.dynamic_slice(tables_valid, (o,), (L,)))
+        mu_s, sg_s, valid_g = jax.vmap(one)(window_off.astype(jnp.int32))
+        mu_s = mu_s.reshape(R, L, k, 4)
+        sg_s = sg_s.reshape(R, L, k, 4)
+        em = -jnp.log(sg_s) - _HALF_LOG_2PI
+        iv = 0.5 / (sg_s * sg_s)
+        edge_ok = (kk == k) & valid_g
+        valid_i = valid_i & edge_ok
+        j_ok = jnp.ones((R, L, k), bool)
+        ids_ok = jnp.ones((R, L, k), bool)
+    else:
+        j_id = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+        p = p_lo[:, :, None] + j_id                        # (R, L, k)
+        j_ok = j_id < kk[:, :, None]
+        p_safe = jnp.clip(p, 0, N - 1)
+        ids_p = jnp.take_along_axis(
+            ids[:, None, :], p_safe.reshape(R, L * k)[:, None, :], axis=2
+        ).reshape(R, L, k)
+        ids_ok = ids_p >= 0
+        off = i_idx[:, :, None] - p
+        inside = (off >= 0) & (off < k)
+        pow4 = jnp.asarray([4 ** (k - 1 - o) for o in range(k)], jnp.int32)
+        w4 = jnp.where(inside, pow4[jnp.clip(off, 0, k - 1)], 0)
+        b_id = jnp.arange(4, dtype=jnp.int32)[None, None, None, :]
+        nid = ids_p[..., None] + (b_id - ref_base[:, :, None, None]) * w4[..., None]
+        nid = jnp.clip(nid, 0, level_mean.shape[0] - 1)    # (R, L, k, 4)
+        ids_p = jnp.where(ids_ok, ids_p, 0)
+        mu_s = level_mean[nid]
+        sg_s = level_std[nid]
+        em = -jnp.log(sg_s) - _HALF_LOG_2PI
+        iv = 0.5 / (sg_s * sg_s)
+        dead = ~(j_ok & ids_ok)
+        em = jnp.where(dead[..., None], NEG_INF, em)
 
     def to_kernel_layout(a):   # (R, L, k, 4) -> (k*4, R, L)
         return jnp.transpose(a, (2, 3, 0, 1)).reshape(k * 4, R, L)

@@ -1,0 +1,129 @@
+"""Genome-level substituted-level tables for the SNP rescore.
+
+The per-batch construction of substituted k-mer levels — (R, L, k, 4) table
+gathers + id arithmetic — measured ~200 ms/batch on TPU (XLA gathers
+serialize). But the quantity is a pure function of the GENOME: for genome
+base position g, window slot j and candidate base b, the affected k-mer is
+the one starting at g-k+1+j with its j-th-from-right digit replaced by b.
+So we precompute, once per genome (host numpy, vectorized):
+
+    mu[g, j, b], sg[g, j, b]   for the forward strand, and the same for the
+    reverse-complement coordinate system (rev-strand read windows are
+    contiguous slices of revcomp(genome))
+
+concatenated as (2(G+pad), k*4) device arrays. A read's window slice is then
+one contiguous block at offset wstart (fwd) or 2G' - wend (rev) — no gathers
+at batch time.
+
+Edge semantics: positions whose k-mer window leaves the genome (or touches an
+N base) are marked invalid; read-local edge positions (clipped windows) are
+masked by the caller, which loses the outer k-1 positions of each read — a
+deliberate approximation (coverage there is dominated by interior positions
+of overlapping reads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..genome import Genome, kmer_ids, reverse_complement
+from ..kmer_model import KmerModel
+
+NEG_INF = -1e30
+_HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
+
+
+def _strand_tables(codes: np.ndarray, model: KmerModel):
+    """(G, k, 4) mu/sg + (G,) validity for one strand of one contig."""
+    k = model.k
+    G = len(codes)
+    ids = kmer_ids(codes, k)                     # (G-k+1,)
+    mu = np.zeros((G, k, 4), np.float32)
+    sg = np.ones((G, k, 4), np.float32)
+    valid = np.zeros(G, bool)
+    if G < k:
+        return mu, sg, valid
+    interior = np.arange(k - 1, G - k + 1)       # positions with all k kmers
+    base = codes[interior].astype(np.int64)      # (M,)
+    ok = base <= 3
+    for j in range(k):
+        p = interior - (k - 1) + j               # kmer start for slot j
+        idp = ids[p]
+        okj = ok & (idp >= 0)
+        for b in range(4):
+            nid = idp + (b - base) * (4 ** j)
+            nid = np.clip(nid, 0, 4 ** k - 1)
+            mu[interior, j, b] = np.where(okj, model.level_mean[nid], 0.0)
+            sg[interior, j, b] = np.where(okj, model.level_std[nid], 1.0)
+        if j == 0:
+            valid_j = okj.copy()
+        valid_j &= okj
+    valid[interior] = valid_j
+    return mu, sg, valid
+
+
+@dataclasses.dataclass
+class SubstTables:
+    """Device-resident substituted-level tables for one genome."""
+
+    mu: "object"           # (2*Gp, k*4) f32 device array ([fwd; rc])
+    sg: "object"           # (2*Gp, k*4) f32
+    valid: "object"        # (2*Gp,) bool
+    contig_offsets: Dict[str, int]   # contig -> row offset of its fwd block
+    g_total: int           # Gp (rows per strand block)
+    k: int
+
+    def window_offsets(self, contig_names, wstart: np.ndarray,
+                       wlen: np.ndarray, strand: np.ndarray) -> np.ndarray:
+        """Row offset of each read's window slice in the concatenated table."""
+        base = np.asarray([self.contig_offsets[c] for c in contig_names],
+                          np.int64)
+        fwd = base + wstart
+        rev = self.g_total + (self.g_total - (base + wstart + wlen))
+        return np.where(strand > 0, fwd, rev).astype(np.int32)
+
+
+def build_subst_tables(genome: Genome, model: KmerModel,
+                       pad: int = 8192) -> SubstTables:
+    """Host-side build + device upload (call once per genome)."""
+    import jax.numpy as jnp
+
+    k = model.k
+    gap = 16  # N separators so k-mers never span contig boundaries
+    offsets, sizes = {}, []
+    off = 0
+    for contig in genome:
+        offsets[contig.name] = off
+        sizes.append(len(contig))
+        off += len(contig) + gap
+    # tail padding so any (offset, L) slice stays in range
+    Gp = off + pad
+    concat = np.full(Gp, 4, np.int8)
+    pos = 0
+    for contig in genome:
+        concat[pos:pos + len(contig)] = contig.codes
+        pos += len(contig) + gap
+
+    mu_f, sg_f, va_f = _strand_tables(concat, model)
+
+    # reverse-complement block: tables over revcomp of the concatenated
+    # genome; coordinate u = Gp-1-g, so rev windows are forward slices
+    rc_codes = reverse_complement(concat)
+    mu_r, sg_r, va_r = _strand_tables(rc_codes, model)
+
+    # tail slack after the rc block: rev windows sit at the END of the rc
+    # coordinate range, and a padded-L dynamic_slice starting there must not
+    # get clamped (clamping silently shifts the whole slice)
+    tail_mu = np.zeros((pad, k, 4), np.float32)
+    tail_sg = np.ones((pad, k, 4), np.float32)
+    tail_va = np.zeros(pad, bool)
+    mu = np.concatenate([mu_f, mu_r, tail_mu], axis=0).reshape(2 * Gp + pad, k * 4)
+    sg = np.concatenate([sg_f, sg_r, tail_sg], axis=0).reshape(2 * Gp + pad, k * 4)
+    valid = np.concatenate([va_f, va_r, tail_va], axis=0)
+    return SubstTables(
+        mu=jnp.asarray(mu), sg=jnp.asarray(sg), valid=jnp.asarray(valid),
+        contig_offsets=offsets, g_total=Gp, k=k,
+    )

@@ -51,6 +51,7 @@ class Batch:
     window_len: np.ndarray    # (R,) i32 = L true bases
     strand: np.ndarray        # (R,) i32
     read_ids: List[str]
+    contigs: List[str]        # contig per read (padded rows repeat the first)
     n_reads: int              # true (unpadded) read count
 
     @property
@@ -158,6 +159,7 @@ def assemble_batch(
     wlen = np.zeros(R, np.int32)
     strand = np.ones(R, np.int32)
     read_ids = []
+    contigs = []
 
     for r, rec in enumerate(records):
         t = len(rec.signal)
@@ -176,15 +178,17 @@ def assemble_batch(
         wlen[r] = lw
         strand[r] = rec.anchor.strand
         read_ids.append(rec.read_id)
+        contigs.append(rec.anchor.contig)
     # padded rows: minimally alive so the DP is well-defined
     t_len[n:] = 1
     n_ref[n:] = 1
 
+    contigs += [contigs[0] if contigs else ""] * (R - n)
     bands = build_chunked_bands(anchors, t_len, n_ref, cfg.band_width, cfg.signal_chunk)
     return Batch(
         x=x, t_len=t_len, mu=mu, sigma=sigma, n_ref=n_ref, bands=bands,
         codes=codes, ids=ids, window_start=wstart, window_len=wlen,
-        strand=strand, read_ids=read_ids, n_reads=n,
+        strand=strand, read_ids=read_ids, contigs=contigs, n_reads=n,
     )
 
 
@@ -198,6 +202,7 @@ def align_batch(
     cfg: AlignConfig,
     backend: str = "auto",
     interpret: bool = False,
+    subst=None,  # ops.subst_tables.SubstTables — genome-level rescore tables
 ):
     """Run the device part on one batch: DP + stats + base log-likelihoods.
 
@@ -237,11 +242,21 @@ def align_batch(
         if backend == "pallas":
             from .ops import pallas_rescore
 
+            tkw = {}
+            if subst is not None:
+                woff = subst.window_offsets(
+                    batch.contigs, batch.window_start, batch.window_len,
+                    batch.strand,
+                )
+                tkw = dict(tables_mu=subst.mu, tables_sg=subst.sg,
+                           tables_valid=subst.valid,
+                           window_off=jnp.asarray(woff))
             base_ll = pallas_rescore.base_loglik_local_pallas(
                 x, res.path, t_len,
                 jnp.asarray(batch.codes), jnp.asarray(batch.ids),
                 jnp.asarray(model.level_mean), jnp.asarray(model.level_std),
                 model.k, cfg, t_w=cfg.snp_local_window, interpret=interpret,
+                **tkw,
             )
         else:
             base_ll = banded_dp.base_loglik_local_batch(
