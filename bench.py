@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-BATCH_READS = 1024    # reads per device batch
+BATCH_READS = 512     # reads per device batch
 N_BATCHES = 4         # pipelined batches in the timed loop
 READ_LEN = 1000       # bases
 CPU_SAMPLE = 6        # reads timed on the CPU core
@@ -111,7 +111,8 @@ def bench_tpu(cfg, model, w, tables=None):
     sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
 
     tmu = tables.mu if tables is not None else None
-    tsg = tables.sg if tables is not None else None
+    tem = tables.em if tables is not None else None
+    tiv = tables.iv if tables is not None else None
     tva = tables.valid if tables is not None else None
 
     def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids, woff, mub, sgb):
@@ -123,8 +124,8 @@ def bench_tpu(cfg, model, w, tables=None):
             base_ll = pallas_rescore.base_loglik_local_pallas(
                 x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
                 t_w=cfg.snp_local_window,
-                tables_mu=tmu, tables_sg=tsg, tables_valid=tva,
-                window_off=woff,
+                tables_mu=tmu, tables_em=tem, tables_iv=tiv,
+                tables_valid=tva, window_off=woff,
             )
         else:
             T = x.shape[1]

@@ -297,15 +297,18 @@ def base_loglik_local_batch(
     def seg_min(p, t):
         return jax.ops.segment_min(t, p, num_segments=N + 1)[:N]
 
-    def seg_max(p, t):
-        return jax.ops.segment_max(t, p, num_segments=N + 1)[:N]
-
     seg_start = jax.vmap(seg_min)(path_safe, t_idx)          # (R, N) or big if unvisited
-    seg_end = jax.vmap(seg_max)(path_safe, t_idx) + 1
 
     first_pos = path[:, 0]                                   # (R,)
     last_t = jnp.maximum(t_len - 1, 0)
     last_pos = jnp.take_along_axis(path, last_t[:, None], axis=1)[:, 0]
+    # monotone, no-skip path: each segment ends where the next begins, so
+    # seg_end derives from seg_start with one shift (saves a second scatter)
+    pos_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    seg_next = jnp.concatenate(
+        [seg_start[:, 1:], jnp.full((R, 1), 1 << 30, seg_start.dtype)], axis=1
+    )
+    seg_end = jnp.where(pos_idx == last_pos[:, None], t_len[:, None], seg_next)
 
     i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]          # (1, L)
     p_lo = jnp.clip(i_idx - k + 1, 0, N - 1)

@@ -126,7 +126,8 @@ def base_loglik_local_pallas(
     t_w: int = 192,
     interpret: bool = False,
     tables_mu: jax.Array = None,    # (2*Gp, k*4) genome subst tables (optional)
-    tables_sg: jax.Array = None,
+    tables_em: jax.Array = None,    # precomputed -log sg' - c
+    tables_iv: jax.Array = None,    # precomputed 0.5/sg'^2
     tables_valid: jax.Array = None, # (2*Gp,) bool
     window_off: jax.Array = None,   # (R,) i32 row offset per read
 ) -> jax.Array:
@@ -150,13 +151,17 @@ def base_loglik_local_pallas(
     seg_start = jax.vmap(
         lambda p, t: jax.ops.segment_min(t, p, num_segments=N + 1)[:N]
     )(path_safe, t_idx)
-    seg_end = jax.vmap(
-        lambda p, t: jax.ops.segment_max(t, p, num_segments=N + 1)[:N]
-    )(path_safe, t_idx) + 1
 
     first_pos = path[:, 0]
     last_t = jnp.maximum(t_len - 1, 0)
     last_pos = jnp.take_along_axis(path, last_t[:, None], axis=1)[:, 0]
+    # monotone, no-skip path: each segment ends where the next begins, so
+    # seg_end derives from seg_start with one shift (saves a second scatter)
+    pos_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    seg_next = jnp.concatenate(
+        [seg_start[:, 1:], jnp.full((R, 1), 1 << 30, seg_start.dtype)], axis=1
+    )
+    seg_end = jnp.where(pos_idx == last_pos[:, None], t_len[:, None], seg_next)
 
     i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     p_lo = jnp.clip(i_idx - k + 1, 0, N - 1)
@@ -197,13 +202,13 @@ def base_loglik_local_pallas(
         # positions (clipped windows) are masked below (kk == k required)
         def one(o):
             return (jax.lax.dynamic_slice(tables_mu, (o, 0), (L, k * 4)),
-                    jax.lax.dynamic_slice(tables_sg, (o, 0), (L, k * 4)),
+                    jax.lax.dynamic_slice(tables_em, (o, 0), (L, k * 4)),
+                    jax.lax.dynamic_slice(tables_iv, (o, 0), (L, k * 4)),
                     jax.lax.dynamic_slice(tables_valid, (o,), (L,)))
-        mu_s, sg_s, valid_g = jax.vmap(one)(window_off.astype(jnp.int32))
+        mu_s, em, iv, valid_g = jax.vmap(one)(window_off.astype(jnp.int32))
         mu_s = mu_s.reshape(R, L, k, 4)
-        sg_s = sg_s.reshape(R, L, k, 4)
-        em = -jnp.log(sg_s) - _HALF_LOG_2PI
-        iv = 0.5 / (sg_s * sg_s)
+        em = em.reshape(R, L, k, 4)
+        iv = iv.reshape(R, L, k, 4)
         edge_ok = (kk == k) & valid_g
         valid_i = valid_i & edge_ok
         j_ok = jnp.ones((R, L, k), bool)

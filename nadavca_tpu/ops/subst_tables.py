@@ -69,9 +69,10 @@ def _strand_tables(codes: np.ndarray, model: KmerModel):
 class SubstTables:
     """Device-resident substituted-level tables for one genome."""
 
-    mu: "object"           # (2*Gp, k*4) f32 device array ([fwd; rc])
-    sg: "object"           # (2*Gp, k*4) f32
-    valid: "object"        # (2*Gp,) bool
+    mu: "object"           # (2*Gp+pad, k*4) f32 device array ([fwd; rc; tail])
+    em: "object"           # (2*Gp+pad, k*4) f32: -log sigma' - 0.5 log 2pi
+    iv: "object"           # (2*Gp+pad, k*4) f32: 0.5 / sigma'^2
+    valid: "object"        # (2*Gp+pad,) bool
     contig_offsets: Dict[str, int]   # contig -> row offset of its fwd block
     g_total: int           # Gp (rows per strand block)
     k: int
@@ -123,7 +124,11 @@ def build_subst_tables(genome: Genome, model: KmerModel,
     mu = np.concatenate([mu_f, mu_r, tail_mu], axis=0).reshape(2 * Gp + pad, k * 4)
     sg = np.concatenate([sg_f, sg_r, tail_sg], axis=0).reshape(2 * Gp + pad, k * 4)
     valid = np.concatenate([va_f, va_r, tail_va], axis=0)
+    # emission constants precomputed here so batches do no logs/divides
+    em = (-np.log(sg) - _HALF_LOG_2PI).astype(np.float32)
+    iv = (0.5 / (sg * sg)).astype(np.float32)
     return SubstTables(
-        mu=jnp.asarray(mu), sg=jnp.asarray(sg), valid=jnp.asarray(valid),
+        mu=jnp.asarray(mu), em=jnp.asarray(em), iv=jnp.asarray(iv),
+        valid=jnp.asarray(valid),
         contig_offsets=offsets, g_total=Gp, k=k,
     )

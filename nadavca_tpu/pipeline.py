@@ -248,8 +248,8 @@ def align_batch(
                     batch.contigs, batch.window_start, batch.window_len,
                     batch.strand,
                 )
-                tkw = dict(tables_mu=subst.mu, tables_sg=subst.sg,
-                           tables_valid=subst.valid,
+                tkw = dict(tables_mu=subst.mu, tables_em=subst.em,
+                           tables_iv=subst.iv, tables_valid=subst.valid,
                            window_off=jnp.asarray(woff))
             base_ll = pallas_rescore.base_loglik_local_pallas(
                 x, res.path, t_len,

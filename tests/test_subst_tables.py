@@ -51,8 +51,8 @@ def test_table_path_matches_gather_path(world):
                                  batch.window_len, batch.strand)
     got = np.asarray(pallas_rescore.base_loglik_local_pallas(
         *common, model.k, CFG, t_w=96, interpret=True,
-        tables_mu=tables.mu, tables_sg=tables.sg, tables_valid=tables.valid,
-        window_off=jnp.asarray(woff)))
+        tables_mu=tables.mu, tables_em=tables.em, tables_iv=tables.iv,
+        tables_valid=tables.valid, window_off=jnp.asarray(woff)))
     k = model.k
     path_np = np.asarray(path)
     for r in range(batch.n_reads):
