@@ -181,6 +181,9 @@ def bench_cpu(cfg, model, protos, w):
 
 
 def main():
+    from nadavca_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     cfg, model, protos, w, tables = build_workload()
     try:
         cpu_rps = bench_cpu(cfg, model, protos, w)

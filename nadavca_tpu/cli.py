@@ -87,6 +87,20 @@ def _preprocess_all(args, cfg, genome, index, metrics, model=None,
     return records
 
 
+def _maybe_subst_tables(args, genome, model):
+    """Genome-level rescore tables when the pallas backend will run."""
+    import jax
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if backend != "pallas":
+        return None
+    from .ops.subst_tables import build_subst_tables
+
+    return build_subst_tables(genome, model)
+
+
 def cmd_align(args) -> int:
     cfg = _load_cfg(args)
     model = _load_model(args, cfg)
@@ -95,11 +109,12 @@ def cmd_align(args) -> int:
     metrics = Metrics()
     os.makedirs(args.output, exist_ok=True)
     records = _preprocess_all(args, cfg, genome, index, metrics, model=model)
+    subst = _maybe_subst_tables(args, genome, model)
     t0 = time.time()
     n_done = 0
     for group in _iter_batches(records, args.batch_reads):
         batch = assemble_batch(group, model, cfg)
-        out = align_batch(batch, model, cfg, backend=args.backend)
+        out = align_batch(batch, model, cfg, backend=args.backend, subst=subst)
         paths = np.asarray(out["path"])
         for r in range(batch.n_reads):
             t = int(batch.t_len[r])
@@ -171,12 +186,13 @@ def cmd_snp(args) -> int:
                 done_ids,
             )
 
+    subst = _maybe_subst_tables(args, genome, model)
     t0 = time.time()
     n_done = 0
     n_batches = 0
     for group in _iter_batches(records, args.batch_reads):
         batch = assemble_batch(group, model, cfg)
-        out = align_batch(batch, model, cfg, backend=args.backend)
+        out = align_batch(batch, model, cfg, backend=args.backend, subst=subst)
         # group reads by contig for accumulation
         by_contig = {}
         for r in range(batch.n_reads):

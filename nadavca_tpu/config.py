@@ -12,7 +12,6 @@ retriggering traces.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import yaml
 

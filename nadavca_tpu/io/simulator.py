@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..genome import decode_bases, encode_bases, reverse_complement
+from ..genome import decode_bases
 from ..kmer_model import KmerModel
 
 

@@ -24,8 +24,7 @@ cell-for-cell against this module.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

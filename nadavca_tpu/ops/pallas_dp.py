@@ -27,7 +27,6 @@ lax.scan path); stay/move is the reference's default model.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import AlignConfig
-from .banded_dp import NEG_INF, ViterbiResult, _band_gather
+from .banded_dp import NEG_INF, ViterbiResult
 
 _HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
 

@@ -14,7 +14,7 @@ scripts/multihost_demo.py drives exactly that.
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import numpy as np
