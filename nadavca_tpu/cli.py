@@ -45,6 +45,44 @@ def _iter_batches(records, batch_reads):
         yield records[i : i + batch_reads]
 
 
+def _prefetched(groups, prepare, depth=2):
+    """Assemble upcoming batches in a background thread (SURVEY §2.2 PP row:
+    the host pipeline overlaps ingest/assembly with device compute)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for g in groups:
+                q.put(prepare(g))
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def _cfg_for_group(cfg, group):
+    """Adaptive band (SURVEY config 3): long-read buckets get the wide band.
+
+    Longer reads accumulate more anchor drift, so their bucket compiles with
+    band_width_long; short buckets keep the narrow band's throughput.
+    """
+    import dataclasses as _dc
+
+    t_max = max(len(r.signal) for r in group)
+    if t_max > cfg.adaptive_band_threshold and cfg.band_width < cfg.band_width_long:
+        return _dc.replace(cfg, band_width=cfg.band_width_long)
+    return cfg
+
+
 def _iter_raw_reads(directory):
     yield from fast5mod.iter_fast5_dir(directory)
     from .io import pod5 as pod5mod
@@ -112,9 +150,13 @@ def cmd_align(args) -> int:
     subst = _maybe_subst_tables(args, genome, model)
     t0 = time.time()
     n_done = 0
-    for group in _iter_batches(records, args.batch_reads):
-        batch = assemble_batch(group, model, cfg)
-        out = align_batch(batch, model, cfg, backend=args.backend, subst=subst)
+    def _prep(group):
+        gcfg = _cfg_for_group(cfg, group)
+        return group, gcfg, assemble_batch(group, model, gcfg)
+
+    for group, gcfg, batch in _prefetched(
+            _iter_batches(records, args.batch_reads), _prep):
+        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst)
         paths = np.asarray(out["path"])
         for r in range(batch.n_reads):
             t = int(batch.t_len[r])
@@ -190,9 +232,13 @@ def cmd_snp(args) -> int:
     t0 = time.time()
     n_done = 0
     n_batches = 0
-    for group in _iter_batches(records, args.batch_reads):
-        batch = assemble_batch(group, model, cfg)
-        out = align_batch(batch, model, cfg, backend=args.backend, subst=subst)
+    def _prep(group):
+        gcfg = _cfg_for_group(cfg, group)
+        return group, gcfg, assemble_batch(group, model, gcfg)
+
+    for group, gcfg, batch in _prefetched(
+            _iter_batches(records, args.batch_reads), _prep):
+        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst)
         # group reads by contig for accumulation
         by_contig = {}
         for r in range(batch.n_reads):

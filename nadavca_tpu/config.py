@@ -51,6 +51,8 @@ class AlignConfig:
     bucket_edges: tuple = (1024, 2048, 4096, 8192, 16384, 32768, 65536)  # signal-length buckets
     signal_chunk: int = 128       # samples per band-offset update (kernel chunking)
     read_tile: int = 32           # reads per Pallas kernel instance (VPU sublane multiple)
+    adaptive_band_threshold: int = 16384  # signal samples above which the wide band is used
+    band_width_long: int = 256    # band width for long reads (adaptive band, config 3)
     kernel_unroll: object = True  # fori_loop unroll inside the fill kernel (True or 1)
     # --- mesh ---
     data_axis: str = "data"       # mesh axis name for data-parallel read sharding
