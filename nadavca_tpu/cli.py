@@ -156,6 +156,8 @@ def cmd_align(args) -> int:
 
     for group, gcfg, batch in _prefetched(
             _iter_batches(records, args.batch_reads), _prep):
+        waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
+        metrics.gauge("padding_waste", waste)
         out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst)
         paths = np.asarray(out["path"])
         for r in range(batch.n_reads):
@@ -238,6 +240,8 @@ def cmd_snp(args) -> int:
 
     for group, gcfg, batch in _prefetched(
             _iter_batches(records, args.batch_reads), _prep):
+        waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
+        metrics.gauge("padding_waste", waste)
         out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst)
         # group reads by contig for accumulation
         by_contig = {}
