@@ -6,6 +6,8 @@ a banded Viterbi wavefront kernel, and signal-level SNP calling via fused
 posterior ops, data-parallel over TPU meshes.
 """
 
+from .api import ReadAlignment, align_signal, call_snps
+from .call import SnpCall
 from .config import AlignConfig, DEFAULT_CONFIG
 from .genome import Genome, encode_bases, decode_bases, reverse_complement, kmer_ids
 from .kmer_model import KmerModel, default_model
@@ -17,6 +19,10 @@ __all__ = [
     "DEFAULT_CONFIG",
     "Genome",
     "KmerModel",
+    "ReadAlignment",
+    "SnpCall",
+    "align_signal",
+    "call_snps",
     "default_model",
     "encode_bases",
     "decode_bases",

@@ -22,7 +22,8 @@ from .config import AlignConfig, DEFAULT_CONFIG
 from .genome import Genome
 from .io import fast5 as fast5mod
 from .kmer_model import KmerModel, default_model
-from .pipeline import align_batch, assemble_batch, preprocess_read
+from .pipeline import (align_batch, assemble_batch, path_to_segments,
+                       preprocess_read)
 from .utils.metrics import Metrics
 
 
@@ -163,14 +164,7 @@ def cmd_align(args) -> int:
         for r in range(batch.n_reads):
             t = int(batch.t_len[r])
             n = int(batch.n_ref[r])
-            p = paths[r, :t]
-            # path is monotone nondecreasing → segment bounds by bisection
-            pos = np.arange(n)
-            s = np.searchsorted(p, pos, side="left")
-            e = np.searchsorted(p, pos, side="right")
-            visited = e > s
-            seg_start = np.where(visited, s, -1)
-            seg_end = np.where(visited, e, -1)
+            seg_start, seg_end = path_to_segments(paths[r], t, n)
             rec = group[r]
             out_path = os.path.join(args.output, f"{rec.read_id}.txt")
             callmod.write_alignment(

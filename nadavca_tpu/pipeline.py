@@ -196,6 +196,22 @@ def device_backend() -> str:
     return jax.default_backend()
 
 
+def path_to_segments(path: np.ndarray, t_len: int, n_ref: int):
+    """Per-reference-position signal sample ranges from a Viterbi path.
+
+    The path (window k-mer position per signal sample) is monotone
+    nondecreasing, so each position's [start, end) range falls out of two
+    bisections. Unvisited positions get (-1, -1). This is the reference's
+    ``align`` output shape (SURVEY.md §2 "Output writers" row).
+    """
+    p = np.asarray(path[:t_len])
+    pos = np.arange(n_ref)
+    s = np.searchsorted(p, pos, side="left")
+    e = np.searchsorted(p, pos, side="right")
+    visited = e > s
+    return np.where(visited, s, -1), np.where(visited, e, -1)
+
+
 def align_batch(
     batch: Batch,
     model: KmerModel,
