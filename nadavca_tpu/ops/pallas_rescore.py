@@ -32,6 +32,67 @@ RT = 8    # reads per tile (sublanes)
 LT = 128  # positions per tile (lanes)
 
 
+def _count_kernel(p_ref, out_ref, *, np_lanes, chunk, r_tile, unroll):
+    c = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_tile, np_lanes), 1)
+
+    def body(s, acc):
+        col = p_ref[:, pl.ds(s, 1)]                  # (RT, 1)
+        return acc + (col < iota).astype(jnp.int32)
+
+    acc = jax.lax.fori_loop(
+        0, chunk, body, jnp.zeros((r_tile, np_lanes), jnp.int32), unroll=unroll
+    )
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
+                       chunk: int = 128, interpret: bool = False):
+    """C[r, i] = #{t : path_safe[r, t] < i} for i in [0, n_lanes).
+
+    For a monotone nondecreasing path this is searchsorted-left as a dense
+    counting reduction — the XLA alternative (segment_min scatter over R·T
+    elements) measured 86 ms at bench shapes vs ~3 ms here. Masked samples
+    must be pre-set to >= n_lanes - 1 so they never count.
+    """
+    R, T = path_safe.shape
+    assert n_lanes % 128 == 0
+    Rp = -(-R // rt) * rt
+    Tp = -(-T // chunk) * chunk
+    if Rp != R or Tp != T:
+        # padded samples carry the sentinel (never < any lane index)
+        path_safe = jnp.pad(path_safe, ((0, Rp - R), (0, Tp - T)),
+                            constant_values=n_lanes)
+    kernel = functools.partial(
+        _count_kernel, np_lanes=n_lanes, chunk=chunk, r_tile=rt, unroll=True
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rp // rt, Tp // chunk),
+        in_specs=[
+            pl.BlockSpec((rt, chunk), lambda r, c: (r, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, n_lanes), lambda r, c: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, n_lanes), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * Tp * n_lanes,
+            bytes_accessed=int(Rp * Tp * 4 + Rp * n_lanes * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(path_safe.astype(jnp.int32))
+    return out[:R]
+
+
 def _rescore_kernel(
     xs_ref,    # (t_w, RT, LT) f32: sample s of each position's window
     em_ref,    # (k*4, RT, LT) f32: -log sigma' - c, NEG_INF at dead (j, b)
@@ -143,25 +204,20 @@ def base_loglik_local_pallas(
                                constant_values=4)
     N = ids.shape[1]
 
-    # ---- window bounds from the global path (same math as the XLA version)
+    # ---- window bounds from the global path. The path is monotone and
+    # no-skip (the pallas fill asserts !use_skip), so segment bounds are
+    # bisection counts: seg_start[i] = #{t : path[t] < i}, seg_end[i] =
+    # #{t : path[t] <= i} — one dense Pallas counting pass instead of the
+    # segment_min scatter (86 ms -> ~3 ms at bench shapes). Count index i
+    # runs 0..N so both bounds come from one array.
     tmask = jnp.arange(T)[None, :] < t_len[:, None]
     path_safe = jnp.where(tmask, path, N)
-    t_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (R, T))
-
-    seg_start = jax.vmap(
-        lambda p, t: jax.ops.segment_min(t, p, num_segments=N + 1)[:N]
-    )(path_safe, t_idx)
+    Np = -(-(N + 1) // 128) * 128
+    cnt = path_counts_pallas(path_safe, Np, interpret=interpret)  # (R, Np)
 
     first_pos = path[:, 0]
     last_t = jnp.maximum(t_len - 1, 0)
     last_pos = jnp.take_along_axis(path, last_t[:, None], axis=1)[:, 0]
-    # monotone, no-skip path: each segment ends where the next begins, so
-    # seg_end derives from seg_start with one shift (saves a second scatter)
-    pos_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
-    seg_next = jnp.concatenate(
-        [seg_start[:, 1:], jnp.full((R, 1), 1 << 30, seg_start.dtype)], axis=1
-    )
-    seg_end = jnp.where(pos_idx == last_pos[:, None], t_len[:, None], seg_next)
 
     i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     p_lo = jnp.clip(i_idx - k + 1, 0, N - 1)
@@ -171,8 +227,15 @@ def base_loglik_local_pallas(
     kk = p_hi - p_lo + 1
     valid_i = (kk > 0) & (window_codes < 4)
 
-    S = jnp.take_along_axis(seg_start, jnp.clip(p_lo, 0, N - 1), axis=1)
-    E = jnp.take_along_axis(seg_end, jnp.clip(p_hi, 0, N - 1), axis=1)
+    # S[i] = cnt[clip(i-k+1, 0, N-1)] and E[i] = cnt[clip(i, 0, N-1) + 1]:
+    # static edge-clamped shifts of the count row, so plain pad+slice — no
+    # gathers. Clipping p_lo/p_hi against first/last_pos is unnecessary here
+    # because cnt saturates (0 below first_pos, t_len above last_pos).
+    s_row = cnt[:, :N]                                   # index i-k+1 in [0, N)
+    S = jnp.pad(s_row, ((0, 0), (k - 1, max(L - N - (k - 1), 0))),
+                mode="edge")[:, :L]
+    e_row = cnt[:, 1 : N + 1]                            # index i+1 in [1, N]
+    E = jnp.pad(e_row, ((0, 0), (0, max(L - N, 0))), mode="edge")[:, :L]
     W = jnp.clip(E - S, 0, t_w)
 
     # ---- xs: per-position sample windows
