@@ -145,14 +145,18 @@ def bench_tpu(cfg, model, w, tables=None):
                   "codes", "ids", "woff")) + (mu_b, sg_b)
     out = f(*args)
     np.asarray(out[0])  # warm compile + sync through the tunnel
-    t0 = time.time()
-    outs = [f(*args) for _ in range(N_BATCHES)]
-    np.asarray(outs[-1][0])
-    np.asarray(outs[-1][1])
-    dt = time.time() - t0
-    reads_per_s = BATCH_READS * N_BATCHES / dt
+    # best of 3 trials: the axon tunnel occasionally stalls a whole trial
+    # (observed 3x swings), which would misstate the chip's throughput
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [f(*args) for _ in range(N_BATCHES)]
+        np.asarray(outs[-1][0])
+        np.asarray(outs[-1][1])
+        best_dt = min(best_dt, time.time() - t0)
+    reads_per_s = BATCH_READS * N_BATCHES / best_dt
     cells = float(np.sum(w["t_len"], dtype=np.int64)) * cfg.band_width * N_BATCHES
-    return reads_per_s, cells / dt, backend
+    return reads_per_s, cells / best_dt, backend
 
 
 def bench_cpu(cfg, model, protos, w):

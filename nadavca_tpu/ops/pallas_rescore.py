@@ -262,16 +262,18 @@ def base_loglik_local_pallas(
     if tables_mu is not None:
         # genome-level substituted tables: one contiguous slice per read
         # replaces ~200 ms of per-batch table gathers; read-local edge
-        # positions (clipped windows) are masked below (kk == k required)
+        # positions (clipped windows) are masked below (kk == k required).
+        # Tables are stored (k*4, rows) so the slice lands directly in the
+        # kernel's layout — only leading dims move in the transpose below.
         def one(o):
-            return (jax.lax.dynamic_slice(tables_mu, (o, 0), (L, k * 4)),
-                    jax.lax.dynamic_slice(tables_em, (o, 0), (L, k * 4)),
-                    jax.lax.dynamic_slice(tables_iv, (o, 0), (L, k * 4)),
+            return (jax.lax.dynamic_slice(tables_mu, (0, o), (k * 4, L)),
+                    jax.lax.dynamic_slice(tables_em, (0, o), (k * 4, L)),
+                    jax.lax.dynamic_slice(tables_iv, (0, o), (k * 4, L)),
                     jax.lax.dynamic_slice(tables_valid, (o,), (L,)))
-        mu_s, em, iv, valid_g = jax.vmap(one)(window_off.astype(jnp.int32))
-        mu_s = mu_s.reshape(R, L, k, 4)
-        em = em.reshape(R, L, k, 4)
-        iv = iv.reshape(R, L, k, 4)
+        mu_kl, em_kl, iv_kl, valid_g = jax.vmap(one)(window_off.astype(jnp.int32))
+        mu_kl = jnp.transpose(mu_kl, (1, 0, 2))    # (k*4, R, L)
+        em_kl = jnp.transpose(em_kl, (1, 0, 2))
+        iv_kl = jnp.transpose(iv_kl, (1, 0, 2))
         edge_ok = (kk == k) & valid_g
         valid_i = valid_i & edge_ok
         j_ok = jnp.ones((R, L, k), bool)
@@ -300,8 +302,12 @@ def base_loglik_local_pallas(
         dead = ~(j_ok & ids_ok)
         em = jnp.where(dead[..., None], NEG_INF, em)
 
-    def to_kernel_layout(a):   # (R, L, k, 4) -> (k*4, R, L)
-        return jnp.transpose(a, (2, 3, 0, 1)).reshape(k * 4, R, L)
+        def to_kernel_layout(a):   # (R, L, k, 4) -> (k*4, R, L)
+            return jnp.transpose(a, (2, 3, 0, 1)).reshape(k * 4, R, L)
+
+        em_kl = to_kernel_layout(em)
+        mu_kl = to_kernel_layout(mu_s)
+        iv_kl = to_kernel_layout(iv)
 
     # pad to kernel tile multiples (padding lanes are dead: W=0, em=NEG_INF)
     Rp = -(-R // RT) * RT
@@ -313,9 +319,9 @@ def base_loglik_local_pallas(
                        constant_values=fill)
 
     scores = rescore_fill_pallas(
-        pad(xs), pad(to_kernel_layout(em).astype(jnp.float32), NEG_INF),
-        pad(to_kernel_layout(mu_s).astype(jnp.float32)),
-        pad(to_kernel_layout(iv).astype(jnp.float32), 1.0),
+        pad(xs), pad(em_kl.astype(jnp.float32), NEG_INF),
+        pad(mu_kl.astype(jnp.float32)),
+        pad(iv_kl.astype(jnp.float32), 1.0),
         pad(W.astype(jnp.int32)), pad(kk.astype(jnp.int32), 1), cfg, t_w,
         interpret=interpret,
     )[:, :R, :L]                                       # (4, R, L)
@@ -357,10 +363,13 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
     R, T = x.shape
     L = S.shape[1]
     lt = LT
-    pad_w = 256  # slab width = span + pad_w (multiple of 128; t_w <= pad_w - 8)
+    # m_rows rolled slab copies per matmul: a bigger M amortizes MXU pipeline
+    # fill across the shear matmuls (measured 13.9/10.0/9.2 ms at 8/16/32)
+    m_rows = next(m for m in (32, 16, 8, 4, 2, 1) if t_w % m == 0)
+    pad_w = 256  # slab width = span + pad_w (multiple of 128)
     assert R % rt == 0 and L % lt == 0
     assert T >= span + pad_w, (T, span)
-    assert t_w % 8 == 0 and t_w <= pad_w - 8
+    assert t_w <= pad_w - m_rows
     assert span % 128 == 0 and T % 128 == 0
 
     # per-(row-tile, position-tile) slab base: clipped so the slab fits and
@@ -392,18 +401,18 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
             slab = x_ref[rr, pl.ds(base_v, span + pad_w)].reshape(1, span + pad_w)
             d = (s_ref[rr, :] - base_v).reshape(1, lt)
             m0 = (u_iota == d).astype(jnp.float32)
-            # 8 rolled copies (all lane-offset 0, so the concat is legal);
-            # wrapped tail lanes are never read because d + t_w stays inside
-            # the slab (see the caller's spread mask)
+            # m_rows rolled copies (all lane-offset 0, so the concat is
+            # legal); wrapped tail lanes are never read because d + t_w stays
+            # inside the slab (see the caller's spread mask)
             width = span + pad_w
-            slab8 = jnp.concatenate(
+            slab_m = jnp.concatenate(
                 [pltpu.roll(slab, (width - ss) % width, axis=1)
-                 for ss in range(8)], axis=0
-            )                                               # (8, span + pad_w)
-            for s0 in range(0, t_w, 8):
-                rows = slab8[:, s0 : s0 + span]
+                 for ss in range(m_rows)], axis=0
+            )                                               # (m_rows, width)
+            for s0 in range(0, t_w, m_rows):
+                rows = slab_m[:, s0 : s0 + span]
                 blk = jnp.dot(rows, m0, preferred_element_type=jnp.float32)
-                xs_ref[pl.ds(s0, 8), rr, :] = blk
+                xs_ref[pl.ds(s0, m_rows), rr, :] = blk
 
     return pl.pallas_call(
         kernel_wrap,

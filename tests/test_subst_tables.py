@@ -83,7 +83,8 @@ def test_window_offsets_roundtrip(world):
         lw = int(batch.window_len[r])
         window = batch.codes[r, :lw].astype(np.int8)
         ids = kmer_ids(window, k)
-        sl = mu_np[woff[r]:woff[r] + lw].reshape(lw, k, 4)
+        # tables are stored (k*4, rows) — slice columns, then restore (lw, k, 4)
+        sl = mu_np[:, woff[r]:woff[r] + lw].T.reshape(lw, k, 4)
         for i in range(k, lw - k):  # interior
             for j in range(k):
                 p = i - k + 1 + j
