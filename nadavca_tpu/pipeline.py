@@ -33,6 +33,11 @@ class ReadRecord:
     anchor: Anchor
     anchor_path: np.ndarray   # (T,) float64 window k-mer position per sample
     window_codes: np.ndarray  # (L,) int8
+    # expected levels of the window, computed once during preprocessing and
+    # reused by assemble_batch (profiling showed the duplicate
+    # expected_signal call was ~15% of host prep)
+    mu: Optional[np.ndarray] = None      # (N,) f32
+    sigma: Optional[np.ndarray] = None   # (N,) f32
 
 
 @dataclasses.dataclass
@@ -83,8 +88,9 @@ def preprocess_read(
     window = genome.window(a.contig, a.ref_start, a.ref_end, a.strand)
     path = signal_anchor_path(a, move_index, len(signal))
     signal = np.asarray(signal, np.float32)
+    mu = sigma = None
     if model is not None:
-        mu, _ = model.expected_signal(window)
+        mu, sigma = model.expected_signal(window)
         if len(mu) > 1:
             ap = np.clip(np.round(path).astype(np.int64), 0, len(mu) - 1)
             pred = mu[ap].astype(np.float64)
@@ -111,6 +117,8 @@ def preprocess_read(
         anchor=a,
         anchor_path=path,
         window_codes=window,
+        mu=mu,
+        sigma=sigma,
     )
 
 
@@ -165,7 +173,10 @@ def assemble_batch(
         t = len(rec.signal)
         x[r, :t] = rec.signal
         t_len[r] = t
-        m, s = model.expected_signal(rec.window_codes)
+        if rec.mu is not None:
+            m, s = rec.mu, rec.sigma
+        else:
+            m, s = model.expected_signal(rec.window_codes)
         mu[r, : len(m)] = m
         sigma[r, : len(m)] = s
         n_ref[r] = len(m)
