@@ -18,14 +18,13 @@ from typing import Iterable, Iterator, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from . import call as callmod
-from .anchor import SeedIndex
 from .config import AlignConfig, DEFAULT_CONFIG
 from .genome import Genome
 from .io import fast5 as fast5mod
 from .io.fast5 import RawRead
 from .kmer_model import KmerModel, default_model
 from .pipeline import (Batch, ReadRecord, align_batch, assemble_batch,
-                       path_to_segments, preprocess_read)
+                       make_preprocessor, path_to_segments)
 
 
 @dataclasses.dataclass
@@ -83,16 +82,9 @@ def _preprocess(
     model: KmerModel,
     cfg: AlignConfig,
     workers: int = 1,
+    prep: str = "auto",
 ) -> List[ReadRecord]:
-    index = SeedIndex(genome)
-
-    def work(raw: RawRead) -> Optional[ReadRecord]:
-        if raw.basecall is None or raw.move_index is None:
-            return None
-        sig = fast5mod.normalize_signal(raw.signal_pa, cfg.normalization)
-        return preprocess_read(sig, raw.basecall, raw.move_index, index,
-                               genome, raw.read_id, model=model)
-
+    work = make_preprocessor(genome, cfg, model=model, mode=prep)
     raws = list(raws)
     if workers > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -150,6 +142,7 @@ def align_signal(
     batch_reads: int = 256,
     compute_probabilities: bool = True,
     workers: int = 1,
+    prep: str = "auto",
 ) -> List[ReadAlignment]:
     """Align raw signal of every read in ``fast5`` to ``reference``.
 
@@ -164,7 +157,8 @@ def align_signal(
     cfg = config or DEFAULT_CONFIG
     genome = _as_genome(reference)
     model = model or default_model(cfg.k)
-    records = _preprocess(_iter_raw(fast5), genome, model, cfg, workers)
+    records = _preprocess(_iter_raw(fast5), genome, model, cfg, workers,
+                          prep=prep)
     subst = _maybe_subst(genome, model, cfg, backend) \
         if compute_probabilities else None
     order = {r.read_id: i for i, r in enumerate(records)}
@@ -203,6 +197,7 @@ def call_snps(
     batch_reads: int = 256,
     min_coverage: int = 2,
     workers: int = 1,
+    prep: str = "auto",
 ) -> List[callmod.SnpCall]:
     """Signal-level SNP calls over all reads in ``fast5`` vs ``reference``.
 
@@ -216,7 +211,8 @@ def call_snps(
     cfg = config or DEFAULT_CONFIG
     genome = _as_genome(reference)
     model = model or default_model(cfg.k)
-    records = _preprocess(_iter_raw(fast5), genome, model, cfg, workers)
+    records = _preprocess(_iter_raw(fast5), genome, model, cfg, workers,
+                          prep=prep)
     subst = _maybe_subst(genome, model, cfg, backend)
     accs = {c.name: callmod.make_accumulators(len(c), with_votes=True)
             for c in genome}

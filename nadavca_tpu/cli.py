@@ -17,13 +17,11 @@ from typing import List
 import numpy as np
 
 from . import call as callmod
-from .anchor import SeedIndex
 from .config import AlignConfig, DEFAULT_CONFIG
 from .genome import Genome
 from .io import fast5 as fast5mod
 from .kmer_model import KmerModel, default_model
-from .pipeline import (align_batch, assemble_batch, path_to_segments,
-                       preprocess_read)
+from .pipeline import align_batch, assemble_batch, path_to_segments
 from .utils.metrics import Metrics
 
 
@@ -92,22 +90,20 @@ def _iter_raw_reads(directory):
         yield from pod5mod.iter_pod5_dir(directory)
 
 
-def _preprocess_all(args, cfg, genome, index, metrics, model=None,
+def _preprocess_all(args, cfg, genome, metrics, model=None,
                     skip_ids=None):
     """Ingest + anchor all reads; per-read work fans out over a thread pool
     (the reference's only parallelism was a multiprocessing pool over reads —
-    SURVEY.md "Per-read parallelism" row; here host threads feed the device)."""
+    SURVEY.md "Per-read parallelism" row; here host threads feed the device).
+    Prep runs on the native C++ engine when available (--prep)."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from .pipeline import make_preprocessor
 
     skip_ids = skip_ids or set()
     workers = max(1, getattr(args, "workers", 1))
-
-    def work(raw):
-        if raw.basecall is None or raw.move_index is None:
-            return None
-        sig = fast5mod.normalize_signal(raw.signal_pa, cfg.normalization)
-        return preprocess_read(sig, raw.basecall, raw.move_index, index,
-                               genome, raw.read_id, model=model)
+    work = make_preprocessor(genome, cfg, model=model,
+                             mode=getattr(args, "prep", "auto"))
 
     raws = [r for r in _iter_raw_reads(args.fast5_dir)
             if r.read_id not in skip_ids]
@@ -144,10 +140,9 @@ def cmd_align(args) -> int:
     cfg = _load_cfg(args)
     model = _load_model(args, cfg)
     genome = Genome.from_fasta(args.reference)
-    index = SeedIndex(genome)
     metrics = Metrics()
     os.makedirs(args.output, exist_ok=True)
-    records = _preprocess_all(args, cfg, genome, index, metrics, model=model)
+    records = _preprocess_all(args, cfg, genome, metrics, model=model)
     subst = _maybe_subst_tables(args, genome, model)
     t0 = time.time()
     n_done = 0
@@ -189,7 +184,6 @@ def cmd_snp(args) -> int:
     cfg = _load_cfg(args)
     model = _load_model(args, cfg)
     genome = Genome.from_fasta(args.reference)
-    index = SeedIndex(genome)
     metrics = Metrics()
 
     # resume from checkpoint if present
@@ -199,7 +193,7 @@ def cmd_snp(args) -> int:
         if done_ids:
             print(f"resuming: {len(done_ids)} reads already merged",
                   file=sys.stderr)
-    records = _preprocess_all(args, cfg, genome, index, metrics, model=model,
+    records = _preprocess_all(args, cfg, genome, metrics, model=model,
                               skip_ids=done_ids)
 
     # per-contig accumulators (host keeps a dict; device does each batch)
@@ -343,6 +337,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "pallas", "scan"])
         sp.add_argument("--workers", type=int, default=2,
                         help="host ingest/preprocess threads")
+        sp.add_argument("--prep", default="auto",
+                        choices=["auto", "native", "python"],
+                        help="per-read prep engine (native = C++ csrc/prep)")
         sp.add_argument("--profile", help="write a jax.profiler trace here")
 
     sa = sub.add_parser("align", help="signal→reference alignments per read")

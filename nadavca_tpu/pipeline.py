@@ -122,6 +122,53 @@ def preprocess_read(
     )
 
 
+def make_preprocessor(
+    genome: Genome,
+    cfg: AlignConfig,
+    model: Optional[KmerModel] = None,
+    mode: str = "auto",
+):
+    """Callable(raw_read) -> Optional[ReadRecord], native C++ or Python.
+
+    mode: "auto" (native when the toolchain builds, else Python), "native",
+    "python". The native engine (csrc/prep.cpp) is ~3x faster per core and
+    releases the GIL, so the CLI's thread workers scale with it.
+    """
+    from .io import fast5 as fast5mod
+
+    if mode not in ("auto", "native", "python"):
+        raise ValueError(f"unknown prep mode {mode!r}")
+    if mode != "python":
+        try:
+            from . import prep_native
+
+            native = prep_native.NativePrep(genome)
+
+            def work_native(raw):
+                if raw.basecall is None or raw.move_index is None:
+                    return None
+                return native.prep_read(
+                    raw.signal_pa, raw.basecall, raw.move_index, cfg,
+                    model=model, read_id=raw.read_id,
+                )
+
+            return work_native
+        except Exception:
+            if mode == "native":
+                raise
+
+    index = SeedIndex(genome)
+
+    def work_python(raw):
+        if raw.basecall is None or raw.move_index is None:
+            return None
+        sig = fast5mod.normalize_signal(raw.signal_pa, cfg.normalization)
+        return preprocess_read(sig, raw.basecall, raw.move_index, index,
+                               genome, raw.read_id, model=model)
+
+    return work_python
+
+
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
