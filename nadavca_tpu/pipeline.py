@@ -10,6 +10,7 @@ and the genome scatter-add as one jitted program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -270,6 +271,58 @@ def path_to_segments(path: np.ndarray, t_len: int, n_ref: int):
     return np.where(visited, s, -1), np.where(visited, e, -1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "backend", "k", "interpret", "with_stats"),
+)
+def _device_step(
+    x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
+    lm, ls, woff, tmu, tem, tiv, tva,
+    cfg: AlignConfig, backend: str, k: int, interpret: bool, with_stats: bool,
+):
+    """The whole per-batch device program as ONE jitted function.
+
+    Dispatching the pipeline as individual eager ops measured ~3.4 s/batch
+    through the axon tunnel (every op is a remote round trip); fused under
+    one jit it is the same ~30 ms program bench.py runs. lo/delta are
+    chunked for the pallas backend and full-length for scan; table args are
+    None off the tables path.
+    """
+    if backend == "pallas":
+        res, _ = pallas_dp.pallas_viterbi_batch(
+            x, t_len, mu, sigma, n_ref, lo, delta, cfg,
+            interpret=interpret, mu_band=mu_b, sg_band=sg_b,
+        )
+    else:
+        res = banded_dp.banded_viterbi_batch(x, t_len, mu, sigma, n_ref, lo, cfg)
+
+    N = mu.shape[1]
+    stats = None
+    if cfg.snp_rescore == "local":
+        if backend == "pallas":
+            from .ops import pallas_rescore
+
+            tkw = {}
+            if tmu is not None:
+                tkw = dict(tables_mu=tmu, tables_em=tem, tables_iv=tiv,
+                           tables_valid=tva, window_off=woff)
+            base_ll = pallas_rescore.base_loglik_local_pallas(
+                x, res.path, t_len, codes, ids, lm, ls, k, cfg,
+                t_w=cfg.snp_local_window, interpret=interpret, **tkw,
+            )
+        else:
+            base_ll = banded_dp.base_loglik_local_batch(
+                x, res.path, t_len, codes, ids, lm, ls, k, cfg,
+                t_w=cfg.snp_local_window,
+            )
+    else:
+        stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
+        base_ll = banded_dp.base_loglik_batch(codes, ids, stats, lm, ls, k)
+    if with_stats and stats is None:
+        stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
+    return res.score, res.path, stats, base_ll
+
+
 def align_batch(
     batch: Batch,
     model: KmerModel,
@@ -286,68 +339,40 @@ def align_batch(
     """
     if backend == "auto":
         backend = "pallas" if device_backend() == "tpu" and not cfg.use_skip else "scan"
-
-    x = jnp.asarray(batch.x)
-    t_len = jnp.asarray(batch.t_len)
-    mu = jnp.asarray(batch.mu)
-    sigma = jnp.asarray(batch.sigma)
-    n_ref = jnp.asarray(batch.n_ref)
+    if backend not in ("pallas", "scan"):
+        raise ValueError(f"unknown backend {backend!r}")
 
     if backend == "pallas":
         from .sched.bands import gather_band_levels
 
         mu_b, sg_b = gather_band_levels(batch.mu, batch.sigma, batch.bands)
-        res, _decs = pallas_dp.pallas_viterbi_batch(
-            x, t_len, mu, sigma, n_ref,
-            jnp.asarray(batch.bands.lo), jnp.asarray(batch.bands.delta),
-            cfg, interpret=interpret,
-            mu_band=jnp.asarray(mu_b.transpose(1, 0, 2)),
-            sg_band=jnp.asarray(sg_b.transpose(1, 0, 2)),
-        )
-    elif backend == "scan":
-        lo_full = jnp.asarray(batch.bands.expand(batch.x.shape[1]))
-        res = banded_dp.banded_viterbi_batch(x, t_len, mu, sigma, n_ref, lo_full, cfg)
+        mu_b = jnp.asarray(mu_b.transpose(1, 0, 2))
+        sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
+        lo = jnp.asarray(batch.bands.lo)
+        delta = jnp.asarray(batch.bands.delta)
     else:
-        raise ValueError(f"unknown backend {backend!r}")
+        mu_b = sg_b = delta = None
+        lo = jnp.asarray(batch.bands.expand(batch.x.shape[1]))
 
-    N = batch.mu.shape[1]
-    if cfg.snp_rescore == "local":
-        stats = None  # not needed; the restricted re-DP derives its own bounds
-        if backend == "pallas":
-            from .ops import pallas_rescore
+    woff = tmu = tem = tiv = tva = None
+    if subst is not None and backend == "pallas" and cfg.snp_rescore == "local":
+        woff = jnp.asarray(subst.window_offsets(
+            batch.contigs, batch.window_start, batch.window_len, batch.strand,
+        ))
+        tmu, tem, tiv, tva = subst.mu, subst.em, subst.iv, subst.valid
 
-            tkw = {}
-            if subst is not None:
-                woff = subst.window_offsets(
-                    batch.contigs, batch.window_start, batch.window_len,
-                    batch.strand,
-                )
-                tkw = dict(tables_mu=subst.mu, tables_em=subst.em,
-                           tables_iv=subst.iv, tables_valid=subst.valid,
-                           window_off=jnp.asarray(woff))
-            base_ll = pallas_rescore.base_loglik_local_pallas(
-                x, res.path, t_len,
-                jnp.asarray(batch.codes), jnp.asarray(batch.ids),
-                jnp.asarray(model.level_mean), jnp.asarray(model.level_std),
-                model.k, cfg, t_w=cfg.snp_local_window, interpret=interpret,
-                **tkw,
-            )
-        else:
-            base_ll = banded_dp.base_loglik_local_batch(
-                x, res.path, t_len,
-                jnp.asarray(batch.codes), jnp.asarray(batch.ids),
-                jnp.asarray(model.level_mean), jnp.asarray(model.level_std),
-                model.k, cfg, t_w=cfg.snp_local_window,
-            )
-    else:
-        stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
-        base_ll = banded_dp.base_loglik_batch(
-            jnp.asarray(batch.codes), jnp.asarray(batch.ids), stats,
-            jnp.asarray(model.level_mean), jnp.asarray(model.level_std), model.k,
-        )
+    score, path, stats, base_ll = _device_step(
+        jnp.asarray(batch.x), jnp.asarray(batch.t_len), jnp.asarray(batch.mu),
+        jnp.asarray(batch.sigma), jnp.asarray(batch.n_ref), lo, delta,
+        mu_b, sg_b, jnp.asarray(batch.codes), jnp.asarray(batch.ids),
+        jnp.asarray(model.level_mean), jnp.asarray(model.level_std), woff,
+        tmu, tem, tiv, tva,
+        cfg=cfg, backend=backend, k=model.k, interpret=interpret,
+        with_stats=False,
+    )
     return {
-        "score": res.score,
-        "path": res.path,
+        "score": score,
+        "path": path,
         "stats": stats,
         "base_loglik": base_ll,
     }
