@@ -21,7 +21,8 @@ from .config import AlignConfig, DEFAULT_CONFIG
 from .genome import Genome
 from .io import fast5 as fast5mod
 from .kmer_model import KmerModel, default_model
-from .pipeline import align_batch, assemble_batch, path_to_segments
+from .pipeline import (align_batch, assemble_batch, path_to_segments,
+                       stage_batch)
 from .utils.metrics import Metrics
 
 
@@ -148,13 +149,16 @@ def cmd_align(args) -> int:
     n_done = 0
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
-        return group, gcfg, assemble_batch(group, model, gcfg)
+        batch = assemble_batch(group, model, gcfg)
+        staged = stage_batch(batch, model, gcfg, args.backend, subst=subst)
+        return group, gcfg, batch, staged
 
-    for group, gcfg, batch in _prefetched(
+    for group, gcfg, batch, staged in _prefetched(
             _iter_batches(records, args.batch_reads), _prep):
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
-        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst)
+        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst,
+                          staged=staged)
         paths = np.asarray(out["path"])
         for r in range(batch.n_reads):
             t = int(batch.t_len[r])
@@ -224,18 +228,22 @@ def cmd_snp(args) -> int:
     n_batches = 0
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
-        return group, gcfg, assemble_batch(group, model, gcfg)
+        batch = assemble_batch(group, model, gcfg)
+        staged = stage_batch(batch, model, gcfg, args.backend, subst=subst)
+        return group, gcfg, batch, staged
 
     seen_shapes = set()
     steady_reads, steady_secs = 0, 0.0
-    for group, gcfg, batch in _prefetched(
+    for group, gcfg, batch, staged in _prefetched(
             _iter_batches(records, args.batch_reads), _prep):
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
         shape_key = (batch.shapes, gcfg.band_width)
         tb = time.time()
-        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst)
-        out["base_loglik"].block_until_ready()
+        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst,
+                          staged=staged)
+        np.asarray(out["score"])  # host fetch = true sync (block_until_ready
+        #                           returns early through the axon tunnel)
         if shape_key in seen_shapes:  # compiled executable reused
             steady_reads += batch.n_reads
             steady_secs += time.time() - tb

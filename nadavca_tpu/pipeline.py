@@ -323,25 +323,24 @@ def _device_step(
     return res.score, res.path, stats, base_ll
 
 
-def align_batch(
-    batch: Batch,
-    model: KmerModel,
-    cfg: AlignConfig,
-    backend: str = "auto",
-    interpret: bool = False,
-    subst=None,  # ops.subst_tables.SubstTables — genome-level rescore tables
-):
-    """Run the device part on one batch: DP + stats + base log-likelihoods.
-
-    backend: "auto" (pallas on TPU, scan otherwise), "pallas", "scan".
-    Returns dict of device arrays: score (R,), path (R, T), stats (R, N, 3),
-    base_loglik (R, L, 4).
-    """
+def resolve_backend(cfg: AlignConfig, backend: str = "auto") -> str:
     if backend == "auto":
         backend = "pallas" if device_backend() == "tpu" and not cfg.use_skip else "scan"
     if backend not in ("pallas", "scan"):
         raise ValueError(f"unknown backend {backend!r}")
+    return backend
 
+
+def stage_batch(batch: Batch, model: KmerModel, cfg: AlignConfig,
+                backend: str, subst=None) -> dict:
+    """Host prep + device upload of everything _device_step consumes.
+
+    Safe to call from a prefetch thread (jax dispatch is thread-safe), so
+    the host→device transfer of batch N+1 overlaps the device compute of
+    batch N — on the axon tunnel the H2D hop is the CLI's main steady-state
+    cost.
+    """
+    backend = resolve_backend(cfg, backend)
     if backend == "pallas":
         from .sched.bands import gather_band_levels
 
@@ -361,13 +360,43 @@ def align_batch(
         ))
         tmu, tem, tiv, tva = subst.mu, subst.em, subst.iv, subst.valid
 
+    return dict(
+        x=jnp.asarray(batch.x), t_len=jnp.asarray(batch.t_len),
+        mu=jnp.asarray(batch.mu), sigma=jnp.asarray(batch.sigma),
+        n_ref=jnp.asarray(batch.n_ref), lo=lo, delta=delta,
+        mu_b=mu_b, sg_b=sg_b,
+        codes=jnp.asarray(batch.codes), ids=jnp.asarray(batch.ids),
+        lm=jnp.asarray(model.level_mean), ls=jnp.asarray(model.level_std),
+        woff=woff, tmu=tmu, tem=tem, tiv=tiv, tva=tva,
+        backend=backend, k=model.k,
+    )
+
+
+def align_batch(
+    batch: Batch,
+    model: KmerModel,
+    cfg: AlignConfig,
+    backend: str = "auto",
+    interpret: bool = False,
+    subst=None,  # ops.subst_tables.SubstTables — genome-level rescore tables
+    staged: Optional[dict] = None,
+):
+    """Run the device part on one batch: DP + stats + base log-likelihoods.
+
+    backend: "auto" (pallas on TPU, scan otherwise), "pallas", "scan".
+    Pass ``staged`` (from :func:`stage_batch`, e.g. computed in a prefetch
+    thread) to skip the in-line host prep + upload. Returns dict of device
+    arrays: score (R,), path (R, T), stats (R, N, 3), base_loglik (R, L, 4).
+    """
+    a = staged if staged is not None else stage_batch(
+        batch, model, cfg, backend, subst=subst)
+    backend = a["backend"]
+    k = a["k"]
     score, path, stats, base_ll = _device_step(
-        jnp.asarray(batch.x), jnp.asarray(batch.t_len), jnp.asarray(batch.mu),
-        jnp.asarray(batch.sigma), jnp.asarray(batch.n_ref), lo, delta,
-        mu_b, sg_b, jnp.asarray(batch.codes), jnp.asarray(batch.ids),
-        jnp.asarray(model.level_mean), jnp.asarray(model.level_std), woff,
-        tmu, tem, tiv, tva,
-        cfg=cfg, backend=backend, k=model.k, interpret=interpret,
+        a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
+        a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
+        a["ls"], a["woff"], a["tmu"], a["tem"], a["tiv"], a["tva"],
+        cfg=cfg, backend=backend, k=k, interpret=interpret,
         with_stats=False,
     )
     return {
