@@ -7,7 +7,7 @@
 // the ">=50x vs CPU" target). Implements exactly the recurrence of
 // nadavca_tpu/ops/dp_spec.py; results are asserted against the spec in tests.
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libbanded_dp.so banded_dp.cpp
+// Build: g++ -O3 -shared -fPIC -o libbanded_dp.so banded_dp.cpp
 // Called from Python via ctypes (nadavca_tpu/ops/cpu_ref.py).
 
 #include <cmath>

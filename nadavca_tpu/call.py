@@ -28,28 +28,30 @@ from .config import AlignConfig
 _COMP = np.array([3, 2, 1, 0], dtype=np.int32)
 
 
-@functools.partial(jax.jit, donate_argnames=("acc", "cov", "votes"),
-                   static_argnames=("cfg",))
-def accumulate_batch(
-    acc: jax.Array,          # (G, 4) float32 genome log-likelihood accumulator
-    cov: jax.Array,          # (G,) int32 read coverage counter
+def scatter_values(
     base_ll: jax.Array,      # (R, L, 4) float32 per-read window log-likelihoods
     window_start: jax.Array, # (R,) int32 genome coord of window base 0 (fwd strand)
     window_len: jax.Array,   # (R,) int32 true window lengths
     strand: jax.Array,       # (R,) int32 +1 / -1
-    votes: Optional[jax.Array] = None,  # (G, 4) int32 per-read alt-vote counter
-    cfg: AlignConfig = AlignConfig(),
+    G: int,
+    cfg: AlignConfig,
 ):
-    """Scatter-add one batch of read windows into the genome accumulators.
+    """The single source of truth for the locus scatter semantics.
+
+    Maps one batch of read windows to flat scatter indices and values —
+    consumed by :func:`accumulate_batch` (single-device, in-place) and by
+    parallel/sharded.make_sharded_step (fresh deltas + psum), so the two
+    aggregation paths produce identical state by construction.
 
     Per-read contributions are clipped to ±cfg.snp_ll_clip so a single
     misanchored read cannot dominate a locus, and each read casts at most one
-    "vote" per position for a non-reference base whose margin over every
-    other base exceeds cfg.snp_vote_margin (consumed by call_snps'
-    min-alt-votes filter).
+    "vote" per position for a base whose margin over the runner-up exceeds
+    cfg.snp_vote_margin (consumed by call_snps' min-alt-votes filter).
+
+    Returns (flat_pos (R·L,) int32 with G as the overflow row, ll (R·L, 4)
+    clipped+masked values, n_valid (R·L,) int32, votes_onehot (R·L, 4) int32).
     """
     R, L, _ = base_ll.shape
-    G = acc.shape[0]
     li = jnp.arange(L, dtype=jnp.int32)[None, :]          # (1, L)
     rev = strand[:, None] < 0                              # (R, 1)
     # genome position of window base i
@@ -66,22 +68,41 @@ def accumulate_batch(
     ll = jnp.clip(ll_raw, -cfg.snp_ll_clip, cfg.snp_ll_clip)
     ll = jnp.where(valid[:, :, None], ll, 0.0)
 
-    flat_pos = pos_safe.reshape(-1)
-    acc_pad = jnp.concatenate([acc, jnp.zeros((1, 4), acc.dtype)], axis=0)
-    acc_pad = acc_pad.at[flat_pos].add(ll.reshape(-1, 4))
-    cov_pad = jnp.concatenate([cov, jnp.zeros((1,), cov.dtype)], axis=0)
-    cov_pad = cov_pad.at[flat_pos].add(valid.reshape(-1).astype(jnp.int32))
-    if votes is None:
-        return acc_pad[:G], cov_pad[:G]
-    # per-read confident alt votes (on UNclipped deltas): best base beats the
+    # per-read confident votes (on UNclipped deltas): best base beats the
     # runner-up by the margin
     best = jnp.argmax(ll_raw, axis=2)                      # (R, L); ref col is 0
     best_v = jnp.max(ll_raw, axis=2)
     second = jnp.sort(ll_raw, axis=2)[:, :, 2]
     confident = (best_v - second >= cfg.snp_vote_margin) & valid
     onehot = jax.nn.one_hot(best, 4, dtype=jnp.int32) * confident[..., None]
+    return (pos_safe.reshape(-1), ll.reshape(-1, 4),
+            valid.reshape(-1).astype(jnp.int32), onehot.reshape(-1, 4))
+
+
+@functools.partial(jax.jit, donate_argnames=("acc", "cov", "votes"),
+                   static_argnames=("cfg",))
+def accumulate_batch(
+    acc: jax.Array,          # (G, 4) float32 genome log-likelihood accumulator
+    cov: jax.Array,          # (G,) int32 read coverage counter
+    base_ll: jax.Array,      # (R, L, 4) float32 per-read window log-likelihoods
+    window_start: jax.Array, # (R,) int32 genome coord of window base 0 (fwd strand)
+    window_len: jax.Array,   # (R,) int32 true window lengths
+    strand: jax.Array,       # (R,) int32 +1 / -1
+    votes: Optional[jax.Array] = None,  # (G, 4) int32 per-read alt-vote counter
+    cfg: AlignConfig = AlignConfig(),
+):
+    """Scatter-add one batch of read windows into the genome accumulators."""
+    G = acc.shape[0]
+    flat_pos, ll, n_valid, onehot = scatter_values(
+        base_ll, window_start, window_len, strand, G, cfg)
+    acc_pad = jnp.concatenate([acc, jnp.zeros((1, 4), acc.dtype)], axis=0)
+    acc_pad = acc_pad.at[flat_pos].add(ll)
+    cov_pad = jnp.concatenate([cov, jnp.zeros((1,), cov.dtype)], axis=0)
+    cov_pad = cov_pad.at[flat_pos].add(n_valid)
+    if votes is None:
+        return acc_pad[:G], cov_pad[:G]
     votes_pad = jnp.concatenate([votes, jnp.zeros((1, 4), votes.dtype)], axis=0)
-    votes_pad = votes_pad.at[flat_pos].add(onehot.reshape(-1, 4))
+    votes_pad = votes_pad.at[flat_pos].add(onehot)
     return acc_pad[:G], cov_pad[:G], votes_pad[:G]
 
 

@@ -137,11 +137,35 @@ def _maybe_subst_tables(args, genome, model):
     return build_subst_tables(genome, model)
 
 
+def _parse_devices(args) -> int:
+    import jax
+
+    d = getattr(args, "devices", "1")
+    n = len(jax.devices()) if d == "all" else int(d)
+    if not 1 <= n <= len(jax.devices()):
+        raise SystemExit(
+            f"--devices {d} but only {len(jax.devices())} devices present")
+    return n
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _staged_inputs(staged: dict) -> dict:
+    return {k: v for k, v in staged.items()
+            if k not in ("backend", "k") and v is not None}
+
+
 def cmd_align(args) -> int:
+    from .parallel import sharded
+
     cfg = _load_cfg(args)
     model = _load_model(args, cfg)
     genome = Genome.from_fasta(args.reference)
     metrics = Metrics()
+    n_dev = _parse_devices(args)
+    mesh = sharded.make_mesh(n_dev, cfg.data_axis) if n_dev > 1 else None
     os.makedirs(args.output, exist_ok=True)
     records = _preprocess_all(args, cfg, genome, metrics, model=model)
     subst = _maybe_subst_tables(args, genome, model)
@@ -149,16 +173,35 @@ def cmd_align(args) -> int:
     n_done = 0
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
-        batch = assemble_batch(group, model, gcfg)
+        pad_to = _round_up(max(len(group), 1), gcfg.read_tile * n_dev)
+        batch = assemble_batch(group, model, gcfg, pad_reads_to=pad_to)
         staged = stage_batch(batch, model, gcfg, args.backend, subst=subst)
+        if mesh is not None:
+            staged = sharded.shard_staged(mesh, gcfg, staged)
         return group, gcfg, batch, staged
+
+    align_steps = {}
+
+    def _run_batch(gcfg, batch, staged):
+        if mesh is None:
+            return align_batch(batch, model, gcfg, backend=args.backend,
+                               subst=subst, staged=staged)
+        key = (gcfg, staged["backend"], staged["mu_b"] is not None,
+               staged["tmu"] is not None)
+        if key not in align_steps:
+            align_steps[key] = sharded.make_sharded_align(
+                mesh, gcfg, backend=staged["backend"], k=staged["k"],
+                use_bands=staged["mu_b"] is not None,
+                use_tables=staged["tmu"] is not None,
+            )
+        score, path, base_ll = align_steps[key](_staged_inputs(staged))
+        return {"score": score, "path": path, "base_loglik": base_ll}
 
     for group, gcfg, batch, staged in _prefetched(
             _iter_batches(records, args.batch_reads), _prep):
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
-        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst,
-                          staged=staged)
+        out = _run_batch(gcfg, batch, staged)
         paths = np.asarray(out["path"])
         for r in range(batch.n_reads):
             t = int(batch.t_len[r])
@@ -180,15 +223,36 @@ def cmd_align(args) -> int:
 
 
 def cmd_snp(args) -> int:
+    import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from .parallel import sharded
     from .utils.checkpoint import load_checkpoint, save_checkpoint
-    from .utils.profiling import trace
 
     cfg = _load_cfg(args)
     model = _load_model(args, cfg)
     genome = Genome.from_fasta(args.reference)
     metrics = Metrics()
+    n_dev = _parse_devices(args)
+    mesh = sharded.make_mesh(n_dev, cfg.data_axis)
+
+    # ONE global accumulator over the concatenated genome: all contigs live
+    # in one (G, 4) array so a batch spanning contigs is a single device
+    # step, and the accumulators never leave the device between batches.
+    contig_off = {}
+    off = 0
+    for c in genome:
+        contig_off[c.name] = off
+        off += len(c)
+    G_total = off
+    if args.genome_sharded == "on":
+        genome_sharded = n_dev > 1
+    elif args.genome_sharded == "off":
+        genome_sharded = False
+    else:  # auto: shard the accumulator once it is too big to replicate
+        genome_sharded = n_dev > 1 and G_total >= (1 << 22)
+    Gp = _round_up(max(G_total, 1), n_dev * 128) if genome_sharded else G_total
 
     # resume from checkpoint if present
     ckpt_accs, done_ids = ({}, set())
@@ -200,25 +264,36 @@ def cmd_snp(args) -> int:
     records = _preprocess_all(args, cfg, genome, metrics, model=model,
                               skip_ids=done_ids)
 
-    # per-contig accumulators (host keeps a dict; device does each batch)
-    contigs = {c.name: len(c) for c in genome}
-    accs = {}
-    for n, l in contigs.items():
-        if n in ckpt_accs:
-            a, c, v = (jnp.asarray(ckpt_accs[n][0]), jnp.asarray(ckpt_accs[n][1]),
-                       jnp.asarray(ckpt_accs[n][2]) if len(ckpt_accs[n]) > 2
-                       else jnp.zeros((l, 4), jnp.int32))
-            accs[n] = (a, c, v)
-        else:
-            accs[n] = callmod.make_accumulators(l, with_votes=True)
+    acc, cov, votes = sharded.make_accumulators_sharded(
+        mesh, cfg, Gp, genome_sharded)
+    if ckpt_accs:
+        a_np = np.zeros((Gp, 4), np.float32)
+        c_np = np.zeros((Gp,), np.int32)
+        v_np = np.zeros((Gp, 4), np.int32)
+        for cname, coff in contig_off.items():
+            if cname in ckpt_accs:
+                ck = ckpt_accs[cname]
+                l = len(genome[cname])
+                a_np[coff:coff + l] = ck[0]
+                c_np[coff:coff + l] = ck[1]
+                if len(ck) > 2:
+                    v_np[coff:coff + l] = ck[2]
+        spec = P(cfg.data_axis) if genome_sharded else P()
+        sh = NamedSharding(mesh, spec)
+        acc = jax.device_put(jnp.asarray(a_np), sh)
+        cov = jax.device_put(jnp.asarray(c_np), sh)
+        votes = jax.device_put(jnp.asarray(v_np), sh)
 
     def save_ckpt():
         if args.checkpoint:
-            import numpy as _np
+            a_np, c_np, v_np = (np.asarray(acc), np.asarray(cov),
+                                np.asarray(votes))
             save_checkpoint(
                 args.checkpoint,
-                {n: (_np.asarray(a), _np.asarray(c), _np.asarray(v))
-                 for n, (a, c, v) in accs.items()},
+                {cname: (a_np[coff:coff + len(genome[cname])],
+                         c_np[coff:coff + len(genome[cname])],
+                         v_np[coff:coff + len(genome[cname])])
+                 for cname, coff in contig_off.items()},
                 done_ids,
             )
 
@@ -226,44 +301,55 @@ def cmd_snp(args) -> int:
     t0 = time.time()
     n_done = 0
     n_batches = 0
+
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
-        batch = assemble_batch(group, model, gcfg)
-        staged = stage_batch(batch, model, gcfg, args.backend, subst=subst)
-        return group, gcfg, batch, staged
+        pad_to = _round_up(max(len(group), 1), gcfg.read_tile * n_dev)
+        batch = assemble_batch(group, model, gcfg, pad_reads_to=pad_to)
+        staged = sharded.shard_staged(mesh, gcfg, stage_batch(
+            batch, model, gcfg, args.backend, subst=subst))
+        coffs = np.asarray([contig_off[c] for c in batch.contigs], np.int64)
+        extra = sharded.shard_batch_arrays(mesh, gcfg, {
+            "wstart": (batch.window_start.astype(np.int64) + coffs
+                       ).astype(np.int32),
+            "wlen": batch.window_len,
+            "strand": batch.strand,
+        })
+        return group, gcfg, batch, staged, extra
+
+    steps = {}
+
+    def get_step(gcfg, staged):
+        key = (gcfg, staged["backend"], staged["mu_b"] is not None,
+               staged["tmu"] is not None)
+        if key not in steps:
+            steps[key] = sharded.make_sharded_step(
+                mesh, gcfg, Gp, backend=staged["backend"], k=staged["k"],
+                genome_sharded=genome_sharded,
+                use_bands=staged["mu_b"] is not None,
+                use_tables=staged["tmu"] is not None,
+            )
+        return steps[key]
 
     seen_shapes = set()
     steady_reads, steady_secs = 0, 0.0
-    for group, gcfg, batch, staged in _prefetched(
+    for group, gcfg, batch, staged, extra in _prefetched(
             _iter_batches(records, args.batch_reads), _prep):
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
         shape_key = (batch.shapes, gcfg.band_width)
         tb = time.time()
-        out = align_batch(batch, model, gcfg, backend=args.backend, subst=subst,
-                          staged=staged)
-        np.asarray(out["score"])  # host fetch = true sync (block_until_ready
-        #                           returns early through the axon tunnel)
+        step = get_step(gcfg, staged)
+        score, _path, acc, cov, votes = step(
+            _staged_inputs(staged), extra["wstart"], extra["wlen"],
+            extra["strand"], acc, cov, votes,
+        )
+        np.asarray(score)  # host fetch = true sync (block_until_ready
+        #                    returns early through the axon tunnel)
         if shape_key in seen_shapes:  # compiled executable reused
             steady_reads += batch.n_reads
             steady_secs += time.time() - tb
         seen_shapes.add(shape_key)
-        # group reads by contig for accumulation
-        by_contig = {}
-        for r in range(batch.n_reads):
-            by_contig.setdefault(group[r].anchor.contig, []).append(r)
-        for cname, rows in by_contig.items():
-            rows_arr = np.asarray(rows, np.int32)
-            acc, cov, votes = accs[cname]
-            acc, cov, votes = callmod.accumulate_batch(
-                acc, cov,
-                out["base_loglik"][rows_arr],
-                jnp.asarray(batch.window_start[rows_arr]),
-                jnp.asarray(batch.window_len[rows_arr]),
-                jnp.asarray(batch.strand[rows_arr]),
-                votes=votes, cfg=cfg,
-            )
-            accs[cname] = (acc, cov, votes)
         n_done += batch.n_reads
         n_batches += 1
         done_ids.update(batch.read_ids[: batch.n_reads])
@@ -271,12 +357,15 @@ def cmd_snp(args) -> int:
         if args.checkpoint and n_batches % args.checkpoint_every == 0:
             save_ckpt()
     save_ckpt()
+    a_np, c_np, v_np = np.asarray(acc), np.asarray(cov), np.asarray(votes)
     all_calls: List[callmod.SnpCall] = []
-    for cname, (acc, cov, votes) in accs.items():
+    for cname, coff in contig_off.items():
+        l = len(genome[cname])
         all_calls.extend(
             callmod.call_snps(
-                np.asarray(acc), np.asarray(cov), genome[cname].codes, cname,
-                cfg, min_coverage=args.min_coverage, votes=np.asarray(votes),
+                a_np[coff:coff + l], c_np[coff:coff + l],
+                genome[cname].codes, cname, cfg,
+                min_coverage=args.min_coverage, votes=v_np[coff:coff + l],
             )
         )
     callmod.write_vcf(args.output, all_calls)
@@ -361,6 +450,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--prep", default="auto",
                         choices=["auto", "native", "python"],
                         help="per-read prep engine (native = C++ csrc/prep)")
+        sp.add_argument("--devices", default="1",
+                        help="number of local devices to shard batches over "
+                             "(int or 'all'; default 1)")
         sp.add_argument("--profile", help="write a jax.profiler trace here")
 
     sa = sub.add_parser("align", help="signal→reference alignments per read")
@@ -372,6 +464,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(ss)
     ss.add_argument("-o", "--output", required=True, help="output VCF path")
     ss.add_argument("--min-coverage", type=int, default=2)
+    ss.add_argument("--genome-sharded", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="shard the locus accumulators over devices "
+                         "(auto: on for >=4 Mb genomes with >1 device)")
     ss.add_argument("--checkpoint", help="accumulator checkpoint path (resume)")
     ss.add_argument("--checkpoint-every", type=int, default=8,
                     help="save the checkpoint every N batches")

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
@@ -18,16 +17,12 @@ import numpy as np
 _LIB: Optional[ctypes.CDLL] = None
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "banded_dp.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libbanded_dp.so")
 
 
 def _build() -> str:
-    src = os.path.abspath(_SRC)
-    so = os.path.abspath(_SO)
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src]
-        subprocess.run(cmd, check=True, capture_output=True)
-    return so
+    from ..utils.native_build import build_shared
+
+    return build_shared(_SRC, "banded_dp")
 
 
 def get_lib() -> ctypes.CDLL:

@@ -68,6 +68,35 @@ def global_batch_from_local(local_arrays: dict, mesh, cfg):
     return out
 
 
+def global_staged_from_local(local_arrays: dict, mesh, cfg):
+    """Globally-sharded staged batch from per-host local staged arrays.
+
+    Like :func:`global_batch_from_local` but spec-aware: model/subst tables
+    are replicated (every host passes an identical copy), chunk-major band
+    levels shard on their read axis (dim 1), everything else shards on the
+    leading read axis — matching parallel/sharded.make_sharded_step.
+    """
+    from jax.sharding import NamedSharding
+
+    from .sharded import _spec_for
+
+    out = {}
+    for k, v in local_arrays.items():
+        spec = _spec_for(k, cfg.data_axis)
+        sharding = NamedSharding(mesh, spec)
+        v = np.asarray(v)
+        if k in ("lm", "ls", "tmu", "tem", "tiv", "tva"):
+            global_shape = v.shape
+        elif k in ("mu_b", "sg_b"):
+            global_shape = (v.shape[0], v.shape[1] * jax.process_count()) + v.shape[2:]
+        else:
+            global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v, global_shape
+        )
+    return out
+
+
 def fetch_replicated(x) -> np.ndarray:
     """Materialize a (replicated or fully-addressable) global array on host."""
     return np.asarray(jax.experimental.multihost_utils.process_allgather(x)) \

@@ -7,6 +7,12 @@ the identical banded-DP + rescoring program on its shard, and the per-locus
 log-likelihood accumulators merge with a single ``psum`` over ICI — the only
 cross-device communication in the whole pipeline.
 
+The per-device program IS :func:`nadavca_tpu.pipeline.device_compute` — the
+same body the single-chip ``_device_step`` jits (Pallas fill with pregathered
+bands, Pallas rescore with genome subst tables), so the single-device and
+multi-device paths cannot diverge; the scatter semantics come from
+:func:`nadavca_tpu.call.scatter_values`, shared with ``accumulate_batch``.
+
 Accumulator layouts:
   * replicated (default): every device holds (G, 4); one psum per batch.
   * genome-sharded (config 4, large G): each device keeps only its G/n slice;
@@ -26,7 +32,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import AlignConfig
-from ..ops import banded_dp, pallas_dp
+from .. import call as callmod
+from .. import pipeline as pipelinemod
+
+# stage_batch keys that are NOT sharded over the read axis
+_REPLICATED_KEYS = ("lm", "ls", "tmu", "tem", "tiv", "tva")
+# (n_chunks, R, B) chunk-major band levels: read axis is dim 1
+_CHUNK_MAJOR_KEYS = ("mu_b", "sg_b")
+_META_KEYS = ("backend", "k")
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -37,59 +50,34 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def _local_compute(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids,
-                   level_mean, level_std, cfg: AlignConfig, backend: str):
-    """Per-device slice of the batch: DP → stats → base log-likelihoods."""
-    if backend == "pallas":
-        res, _ = pallas_dp.pallas_viterbi_batch(
-            x, t_len, mu, sigma, n_ref, lo, delta, cfg
-        )
-    else:
-        T = x.shape[1]
-        C = cfg.signal_chunk
-        lo_full = jnp.repeat(lo, C, axis=1)[:, :T]
-        res = banded_dp.banded_viterbi_batch(x, t_len, mu, sigma, n_ref, lo_full, cfg)
-    if cfg.snp_rescore == "local":
-        base_ll = banded_dp.base_loglik_local_batch(
-            x, res.path, t_len, codes, ids, level_mean, level_std,
-            cfg.k, cfg, t_w=cfg.snp_local_window,
-        )
-    else:
-        stats = banded_dp.segment_stats_batch(res.path, x, t_len, mu.shape[1])
-        base_ll = banded_dp.base_loglik_batch(
-            codes, ids, stats, level_mean, level_std, cfg.k
-        )
-    return res.score, res.path, base_ll
+def _spec_for(key: str, axis: str) -> P:
+    if key in _REPLICATED_KEYS:
+        return P()
+    if key in _CHUNK_MAJOR_KEYS:
+        return P(None, axis, None)
+    return P(axis)
 
 
-def _scatter_accumulate(base_ll, wstart, wlen, strand, G, cfg: AlignConfig):
-    """Local scatter-add of one shard's windows into fresh (G,4)/(G,) deltas.
+def stage_specs(cfg: AlignConfig, staged: dict) -> dict:
+    """PartitionSpec per staged-array key (read axis sharded, tables replicated)."""
+    return {k: _spec_for(k, cfg.data_axis)
+            for k, v in staged.items() if k not in _META_KEYS and v is not None}
 
-    Same clipping + confident-vote semantics as call.accumulate_batch (the
-    single-device path) so both aggregation paths produce identical state.
+
+def shard_staged(mesh: Mesh, cfg: AlignConfig, staged: dict) -> dict:
+    """device_put the per-batch staged arrays with their mesh shardings.
+
+    Metadata keys pass through; replicated constants (model tables, subst
+    tables) are also put here — device_put is a no-op when the array already
+    has the right sharding, so per-batch calls only move the batch data.
     """
-    R, L, _ = base_ll.shape
-    li = jnp.arange(L, dtype=jnp.int32)[None, :]
-    rev = strand[:, None] < 0
-    pos = jnp.where(rev, wstart[:, None] + wlen[:, None] - 1 - li, wstart[:, None] + li)
-    valid = (li < wlen[:, None]) & (pos >= 0) & (pos < G)
-    pos_safe = jnp.where(valid, pos, G)
-    comp = jnp.asarray([3, 2, 1, 0], jnp.int32)
-    ll_raw = jnp.where(rev[:, :, None], base_ll[:, :, comp], base_ll)
-    ll = jnp.clip(ll_raw, -cfg.snp_ll_clip, cfg.snp_ll_clip)
-    ll = jnp.where(valid[:, :, None], ll, 0.0)
-    flat = pos_safe.reshape(-1)
-    dacc = jnp.zeros((G + 1, 4), jnp.float32).at[flat].add(ll.reshape(-1, 4))[:G]
-    dcov = jnp.zeros((G + 1,), jnp.int32).at[flat].add(
-        valid.reshape(-1).astype(jnp.int32)
-    )[:G]
-    best = jnp.argmax(ll_raw, axis=2)
-    best_v = jnp.max(ll_raw, axis=2)
-    second = jnp.sort(ll_raw, axis=2)[:, :, 2]
-    confident = (best_v - second >= cfg.snp_vote_margin) & valid
-    onehot = jax.nn.one_hot(best, 4, dtype=jnp.int32) * confident[..., None]
-    dvotes = jnp.zeros((G + 1, 4), jnp.int32).at[flat].add(onehot.reshape(-1, 4))[:G]
-    return dacc, dcov, dvotes
+    out = {}
+    for k, v in staged.items():
+        if k in _META_KEYS or v is None:
+            out[k] = v
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, _spec_for(k, cfg.data_axis)))
+    return out
 
 
 def make_sharded_step(
@@ -97,41 +85,66 @@ def make_sharded_step(
     cfg: AlignConfig,
     genome_len: int,
     backend: str = "scan",
+    k: int = 6,
     genome_sharded: bool = False,
+    interpret: bool = False,
+    use_bands: bool = False,
+    use_tables: bool = False,
 ):
     """Build the jitted multi-device align+accumulate step.
 
-    Signature of the returned fn (leading dims sharded over the data axis;
-    acc/cov replicated, or genome-sharded when genome_sharded=True):
+    The returned fn consumes the staged-array dict from
+    :func:`nadavca_tpu.pipeline.stage_batch` (plus ``wstart``/``wlen``/
+    ``strand`` window metadata) and the accumulators:
 
-      step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids,
-           wstart, wlen, strand, level_mean, level_std, acc, cov, votes)
-        -> (score, path, base_ll, acc, cov, votes)
+      step(staged, wstart, wlen, strand, acc, cov, votes)
+        -> (score, path, acc, cov, votes)
+
+    ``use_bands``/``use_tables`` declare whether the staged dict carries
+    pregathered band levels (pallas backend) and genome subst tables — they
+    shape the traced signature, so they must match the staged dict.
     """
     axis = cfg.data_axis
     G = genome_len
     n_dev = mesh.devices.size
+    if genome_sharded and G % n_dev != 0:
+        raise ValueError(f"genome_len {G} not divisible by mesh size {n_dev}")
 
     data = P(axis)
     repl = P()
     acc_spec = P(axis) if genome_sharded else repl
 
+    array_keys = ["x", "t_len", "mu", "sigma", "n_ref", "lo", "delta",
+                  "codes", "ids", "lm", "ls"]
+    if use_bands:
+        array_keys += ["mu_b", "sg_b"]
+    if use_tables:
+        array_keys += ["woff", "tmu", "tem", "tiv", "tva"]
+    staged_specs = {k2: _spec_for(k2, axis) for k2 in array_keys}
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(data,) * 12 + (repl, repl, acc_spec, acc_spec, acc_spec),
-        out_specs=(data, data, data, acc_spec, acc_spec, acc_spec),
+        in_specs=(staged_specs, data, data, data, acc_spec, acc_spec, acc_spec),
+        out_specs=(data, data, acc_spec, acc_spec, acc_spec),
         check_vma=False,
     )
-    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids,
-             wstart, wlen, strand, level_mean, level_std, acc, cov, votes):
-        score, path, base_ll = _local_compute(
-            x, t_len, mu, sigma, n_ref, lo, delta, codes, ids,
-            level_mean, level_std, cfg, backend,
+    def step(staged, wstart, wlen, strand, acc, cov, votes):
+        a = {k2: staged.get(k2) for k2 in
+             ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta", "mu_b",
+              "sg_b", "codes", "ids", "lm", "ls", "woff", "tmu", "tem",
+              "tiv", "tva")}
+        score, path, base_ll = pipelinemod.device_compute(
+            a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
+            a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
+            a["ls"], a["woff"], a["tmu"], a["tem"], a["tiv"], a["tva"],
+            cfg=cfg, backend=backend, k=k, interpret=interpret,
         )
-        dacc, dcov, dvotes = _scatter_accumulate(
-            base_ll, wstart, wlen, strand, G, cfg
-        )
+        flat, ll, n_valid, onehot = callmod.scatter_values(
+            base_ll, wstart, wlen, strand, G, cfg)
+        dacc = jnp.zeros((G + 1, 4), jnp.float32).at[flat].add(ll)[:G]
+        dcov = jnp.zeros((G + 1,), jnp.int32).at[flat].add(n_valid)[:G]
+        dvotes = jnp.zeros((G + 1, 4), jnp.int32).at[flat].add(onehot)[:G]
         if genome_sharded:
             # each device keeps its genome slice of the merged contribution
             dacc = jax.lax.psum_scatter(
@@ -150,9 +163,55 @@ def make_sharded_step(
             dacc = jax.lax.psum(dacc, axis)
             dcov = jax.lax.psum(dcov, axis)
             dvotes = jax.lax.psum(dvotes, axis)
-        return score, path, base_ll, acc + dacc, cov + dcov, votes + dvotes
+        return score, path, acc + dacc, cov + dcov, votes + dvotes
 
-    return jax.jit(step, donate_argnums=(14, 15, 16))
+    return jax.jit(step, donate_argnums=(4, 5, 6))
+
+
+def make_sharded_align(
+    mesh: Mesh,
+    cfg: AlignConfig,
+    backend: str = "scan",
+    k: int = 6,
+    interpret: bool = False,
+    use_bands: bool = False,
+    use_tables: bool = False,
+):
+    """Multi-device align-only step (no accumulators): staged -> (score, path).
+
+    Same device_compute body as make_sharded_step; used by ``cli align
+    --devices N`` where per-read paths are the output.
+    """
+    axis = cfg.data_axis
+    data = P(axis)
+    array_keys = ["x", "t_len", "mu", "sigma", "n_ref", "lo", "delta",
+                  "codes", "ids", "lm", "ls"]
+    if use_bands:
+        array_keys += ["mu_b", "sg_b"]
+    if use_tables:
+        array_keys += ["woff", "tmu", "tem", "tiv", "tva"]
+    staged_specs = {k2: _spec_for(k2, axis) for k2 in array_keys}
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(staged_specs,),
+        out_specs=(data, data, data),
+        check_vma=False,
+    )
+    def step(staged):
+        a = {k2: staged.get(k2) for k2 in
+             ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta", "mu_b",
+              "sg_b", "codes", "ids", "lm", "ls", "woff", "tmu", "tem",
+              "tiv", "tva")}
+        return pipelinemod.device_compute(
+            a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
+            a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
+            a["ls"], a["woff"], a["tmu"], a["tem"], a["tiv"], a["tva"],
+            cfg=cfg, backend=backend, k=k, interpret=interpret,
+        )
+
+    return jax.jit(step)
 
 
 def make_accumulators_sharded(mesh: Mesh, cfg: AlignConfig, genome_len: int,

@@ -271,22 +271,20 @@ def path_to_segments(path: np.ndarray, t_len: int, n_ref: int):
     return np.where(visited, s, -1), np.where(visited, e, -1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "backend", "k", "interpret", "with_stats"),
-)
-def _device_step(
+def device_compute(
     x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
     lm, ls, woff, tmu, tem, tiv, tva,
-    cfg: AlignConfig, backend: str, k: int, interpret: bool, with_stats: bool,
+    cfg: AlignConfig, backend: str, k: int, interpret: bool,
 ):
-    """The whole per-batch device program as ONE jitted function.
+    """The per-device compute body shared by EVERY execution path.
 
-    Dispatching the pipeline as individual eager ops measured ~3.4 s/batch
-    through the axon tunnel (every op is a remote round trip); fused under
-    one jit it is the same ~30 ms program bench.py runs. lo/delta are
-    chunked for the pallas backend and full-length for scan; table args are
-    None off the tables path.
+    Single-chip (:func:`_device_step`) and multi-device
+    (parallel/sharded.make_sharded_step) wrap this exact function, so the
+    optimized kernels (Pallas fill with pregathered bands, Pallas rescore,
+    genome subst tables) are what runs under shard_map too — the two
+    programs cannot diverge. lo/delta are always chunked (R, n_chunks);
+    the scan backend expands them here. Table args are None off the
+    tables path. Returns (score, path (R, T) i32, base_ll (R, L, 4)).
     """
     if backend == "pallas":
         res, _ = pallas_dp.pallas_viterbi_batch(
@@ -294,10 +292,11 @@ def _device_step(
             interpret=interpret, mu_band=mu_b, sg_band=sg_b,
         )
     else:
-        res = banded_dp.banded_viterbi_batch(x, t_len, mu, sigma, n_ref, lo, cfg)
+        T = x.shape[1]
+        lo_full = jnp.repeat(lo, cfg.signal_chunk, axis=1)[:, :T]
+        res = banded_dp.banded_viterbi_batch(
+            x, t_len, mu, sigma, n_ref, lo_full, cfg)
 
-    N = mu.shape[1]
-    stats = None
     if cfg.snp_rescore == "local":
         if backend == "pallas":
             from .ops import pallas_rescore
@@ -316,11 +315,35 @@ def _device_step(
                 t_w=cfg.snp_local_window,
             )
     else:
-        stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
+        stats = banded_dp.segment_stats_batch(res.path, x, t_len, mu.shape[1])
         base_ll = banded_dp.base_loglik_batch(codes, ids, stats, lm, ls, k)
-    if with_stats and stats is None:
-        stats = banded_dp.segment_stats_batch(res.path, x, t_len, N)
-    return res.score, res.path, stats, base_ll
+    return res.score, res.path, base_ll
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "backend", "k", "interpret", "with_stats"),
+)
+def _device_step(
+    x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
+    lm, ls, woff, tmu, tem, tiv, tva,
+    cfg: AlignConfig, backend: str, k: int, interpret: bool, with_stats: bool,
+):
+    """The whole per-batch device program as ONE jitted function.
+
+    Dispatching the pipeline as individual eager ops measured ~3.4 s/batch
+    through the axon tunnel (every op is a remote round trip); fused under
+    one jit it is the same ~30 ms program bench.py runs.
+    """
+    score, path, base_ll = device_compute(
+        x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
+        lm, ls, woff, tmu, tem, tiv, tva,
+        cfg=cfg, backend=backend, k=k, interpret=interpret,
+    )
+    stats = None
+    if with_stats:
+        stats = banded_dp.segment_stats_batch(path, x, t_len, mu.shape[1])
+    return score, path, stats, base_ll
 
 
 def resolve_backend(cfg: AlignConfig, backend: str = "auto") -> str:
@@ -347,11 +370,10 @@ def stage_batch(batch: Batch, model: KmerModel, cfg: AlignConfig,
         mu_b, sg_b = gather_band_levels(batch.mu, batch.sigma, batch.bands)
         mu_b = jnp.asarray(mu_b.transpose(1, 0, 2))
         sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
-        lo = jnp.asarray(batch.bands.lo)
-        delta = jnp.asarray(batch.bands.delta)
     else:
-        mu_b = sg_b = delta = None
-        lo = jnp.asarray(batch.bands.expand(batch.x.shape[1]))
+        mu_b = sg_b = None
+    lo = jnp.asarray(batch.bands.lo)
+    delta = jnp.asarray(batch.bands.delta)
 
     woff = tmu = tem = tiv = tva = None
     if subst is not None and backend == "pallas" and cfg.snp_rescore == "local":

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional
 
 import numpy as np
@@ -27,18 +26,14 @@ from .kmer_model import KmerModel
 _LIB: Optional[ctypes.CDLL] = None
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "csrc", "prep.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "..", "csrc", "libprep.so")
 
 _NORM_METHODS = {"mad": 0, "meanstd": 1}
 
 
 def _build() -> str:
-    src = os.path.abspath(_SRC)
-    so = os.path.abspath(_SO)
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src]
-        subprocess.run(cmd, check=True, capture_output=True)
-    return so
+    from .utils.native_build import build_shared
+
+    return build_shared(_SRC, "prep")
 
 
 def get_lib() -> ctypes.CDLL:

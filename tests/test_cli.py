@@ -71,3 +71,35 @@ def test_cli_snp_finds_truth(simdir, tmp_path):
         assert called[p] == b
     fps = set(called) - set(truth)
     assert len(fps) <= 1, f"false positives: {fps}"
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices")
+def test_cli_snp_devices8_identical_vcf(simdir, tmp_path):
+    """`snp --devices 8` must produce a byte-identical VCF to --devices 1
+    (VERDICT r1 item 1 done-criterion)."""
+    ref = os.path.join(simdir, "reference.fasta")
+    out1 = str(tmp_path / "calls_d1.vcf")
+    out8 = str(tmp_path / "calls_d8.vcf")
+    base = ["snp", ref, simdir, "--backend", "scan", "--batch-reads", "16",
+            "--min-coverage", "2"]
+    assert cli.main(base + ["-o", out1, "--devices", "1"]) == 0
+    assert cli.main(base + ["-o", out8, "--devices", "8"]) == 0
+    assert open(out1, "rb").read() == open(out8, "rb").read()
+    assert len(open(out1).readlines()) > 5  # non-trivial output
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices")
+def test_cli_align_devices8_identical(simdir, tmp_path):
+    out1 = str(tmp_path / "a1")
+    out8 = str(tmp_path / "a8")
+    ref = os.path.join(simdir, "reference.fasta")
+    base = ["align", ref, simdir, "--backend", "scan", "--batch-reads", "16"]
+    assert cli.main(base + ["-o", out1, "--devices", "1"]) == 0
+    assert cli.main(base + ["-o", out8, "--devices", "8"]) == 0
+    files = sorted(os.listdir(out1))
+    assert files == sorted(os.listdir(out8))
+    for f in files:
+        assert (open(os.path.join(out1, f), "rb").read()
+                == open(os.path.join(out8, f), "rb").read()), f

@@ -2,7 +2,10 @@
 
 SURVEY.md §4 item 4: N-way sharded locus accumulators must merge to exactly
 the 1-device result; genome-sharded (psum_scatter) and replicated (psum)
-layouts must agree.
+layouts must agree. The sharded step wraps pipeline.device_compute — the
+same body as the single-chip program — so these tests also pin the two
+paths to each other, including the Pallas kernels (interpret mode) under
+shard_map.
 """
 
 import numpy as np
@@ -11,11 +14,10 @@ import jax.numpy as jnp
 import pytest
 
 from nadavca_tpu.config import AlignConfig
-from nadavca_tpu.genome import kmer_ids
 from nadavca_tpu.io.simulator import random_genome, simulate_read
 from nadavca_tpu.kmer_model import default_model
 from nadavca_tpu.parallel import sharded
-from nadavca_tpu.pipeline import assemble_batch, align_batch, preprocess_read
+from nadavca_tpu.pipeline import assemble_batch, align_batch, preprocess_read, stage_batch
 from nadavca_tpu import call as callmod
 from nadavca_tpu.anchor import SeedIndex
 
@@ -47,34 +49,29 @@ def world():
     return model, genome, batch
 
 
-def _batch_args(batch, model):
-    lm = jnp.asarray(model.level_mean)
-    ls = jnp.asarray(model.level_std)
-    return dict(
-        x=jnp.asarray(batch.x), t_len=jnp.asarray(batch.t_len),
-        mu=jnp.asarray(batch.mu), sigma=jnp.asarray(batch.sigma),
-        n_ref=jnp.asarray(batch.n_ref), lo=jnp.asarray(batch.bands.lo),
-        delta=jnp.asarray(batch.bands.delta), codes=jnp.asarray(batch.codes),
-        ids=jnp.asarray(batch.ids),
-        wstart=jnp.asarray(batch.window_start),
-        wlen=jnp.asarray(batch.window_len),
-        strand=jnp.asarray(batch.strand),
-    ), lm, ls
-
-
-def _run(mesh_n, batch, model, genome, genome_sharded):
+def _run(mesh_n, batch, model, genome, genome_sharded, backend="scan",
+         interpret=False, subst=None):
     G = len(genome["ref"])
     mesh = sharded.make_mesh(mesh_n, CFG.data_axis)
-    step = sharded.make_sharded_step(mesh, CFG, G, backend="scan",
-                                     genome_sharded=genome_sharded)
+    staged = stage_batch(batch, model, CFG, backend, subst=subst)
+    step = sharded.make_sharded_step(
+        mesh, CFG, G, backend=staged["backend"], k=model.k,
+        genome_sharded=genome_sharded, interpret=interpret,
+        use_bands=staged["mu_b"] is not None,
+        use_tables=staged["tmu"] is not None,
+    )
     acc, cov, votes = sharded.make_accumulators_sharded(mesh, CFG, G, genome_sharded)
-    arrays, lm, ls = _batch_args(batch, model)
-    arrays = sharded.shard_batch_arrays(mesh, CFG, arrays)
-    score, path, base_ll, acc, cov, votes = step(
-        arrays["x"], arrays["t_len"], arrays["mu"], arrays["sigma"],
-        arrays["n_ref"], arrays["lo"], arrays["delta"], arrays["codes"],
-        arrays["ids"], arrays["wstart"], arrays["wlen"], arrays["strand"],
-        lm, ls, acc, cov, votes,
+    staged = sharded.shard_staged(mesh, CFG, staged)
+    arrays = sharded.shard_batch_arrays(mesh, CFG, {
+        "wstart": jnp.asarray(batch.window_start),
+        "wlen": jnp.asarray(batch.window_len),
+        "strand": jnp.asarray(batch.strand),
+    })
+    inputs = {k: v for k, v in staged.items()
+              if k not in ("backend", "k") and v is not None}
+    score, path, acc, cov, votes = step(
+        inputs, arrays["wstart"], arrays["wlen"], arrays["strand"],
+        acc, cov, votes,
     )
     return (np.asarray(score), np.asarray(path), np.asarray(acc),
             np.asarray(cov), np.asarray(votes))
@@ -107,3 +104,47 @@ def test_sharded_matches_unsharded_pipeline(world):
     s8, p8, _, _, _ = _run(8, batch, model, genome, genome_sharded=False)
     np.testing.assert_allclose(np.asarray(out["score"]), s8, rtol=1e-5, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(out["path"]), p8)
+
+
+def test_sharded_matches_accumulate_batch(world):
+    """psum aggregation == call.accumulate_batch (shared scatter semantics)."""
+    model, genome, batch = world
+    G = len(genome["ref"])
+    _, _, acc8, cov8, v8 = _run(8, batch, model, genome, genome_sharded=False)
+    out = align_batch(batch, model, CFG, backend="scan")
+    acc, cov, votes = callmod.make_accumulators(G, with_votes=True)
+    acc, cov, votes = callmod.accumulate_batch(
+        acc, cov, out["base_loglik"],
+        jnp.asarray(batch.window_start), jnp.asarray(batch.window_len),
+        jnp.asarray(batch.strand), votes=votes, cfg=CFG,
+    )
+    np.testing.assert_array_equal(np.asarray(cov), cov8)
+    np.testing.assert_array_equal(np.asarray(votes), v8)
+    np.testing.assert_allclose(np.asarray(acc), acc8, rtol=1e-4, atol=1e-2)
+
+
+def test_pallas_interpret_under_shard_map(world):
+    """The production Pallas kernels (interpret mode) compose with shard_map
+    and match the scan backend's calls — VERDICT r1 weakness #2."""
+    model, genome, batch = world
+    # per-shard R must be a read_tile multiple for the fill kernel
+    rng = np.random.default_rng(77)
+    index = SeedIndex(genome)
+    reads = [simulate_read(genome, "ref", model, rng, read_len=300,
+                           strand=1 if i % 2 else -1) for i in range(16)]
+    records = [preprocess_read(r.signal.astype(np.float32), r.basecall,
+                               r.move_index, index, genome, r.read_id)
+               for r in reads]
+    records = [r for r in records if r is not None]
+    batch = assemble_batch(records, model, CFG, pad_reads_to=64)
+    s_p, p_p, acc_p, cov_p, v_p = _run(
+        8, batch, model, genome, genome_sharded=False,
+        backend="pallas", interpret=True,
+    )
+    s_s, p_s, acc_s, cov_s, v_s = _run(
+        8, batch, model, genome, genome_sharded=False, backend="scan",
+    )
+    np.testing.assert_allclose(s_p, s_s, rtol=1e-4, atol=1e-2)
+    np.testing.assert_array_equal(p_p, p_s)
+    np.testing.assert_array_equal(cov_p, cov_s)
+    np.testing.assert_allclose(acc_p, acc_s, rtol=1e-3, atol=5e-2)
