@@ -20,6 +20,12 @@ import subprocess
 import sys
 import tempfile
 
+# the repo may not be pip-installed in the spawned interpreters — make the
+# package importable regardless of the caller's environment
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 N_PROC = 2
 PORT = int(os.environ.get("MULTIHOST_DEMO_PORT", "9378"))
 REF_NPZ = os.environ.get("MULTIHOST_DEMO_REF", "")
