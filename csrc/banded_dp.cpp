@@ -32,11 +32,13 @@ extern "C" {
 //   mu[N], sg[N]   expected level mean/std per reference k-mer position
 //   lo[T]          nondecreasing band start per sample, in [0, max(N-B,0)]
 //   B              band width
+//   use_skip       nonzero enables the advance-by-2 transition at lp_skip
 // Outputs: *score, path[T] (k-mer position per sample).
 // Returns 0 on success.
 int banded_viterbi(const float* x, int64_t T, const float* mu, const float* sg,
                    int64_t N, const int32_t* lo, int32_t B, float lp_stay,
-                   float lp_move, float* score, int32_t* path) {
+                   float lp_move, float lp_skip, int32_t use_skip,
+                   float* score, int32_t* path) {
   if (T <= 0 || N <= 0) return 1;
   int64_t Bw = B < N ? B : N;
   std::vector<float> V(Bw), Vp(Bw);
@@ -57,12 +59,21 @@ int banded_viterbi(const float* x, int64_t T, const float* mu, const float* sg,
       float move = (jm >= 0 && jm < Bw) ? Vp[jm] + lp_move : NEG_INF;
       float best;
       uint8_t adv;
+      // strict > keeps the spec's first-max tie rule: stay > move > skip
       if (move > stay) {
         best = move;
         adv = 1;
       } else {
         best = stay;
         adv = 0;
+      }
+      if (use_skip) {
+        int64_t jk = j + d - 2;  // skip source (advance by 2)
+        float skip = (jk >= 0 && jk < Bw) ? Vp[jk] + lp_skip : NEG_INF;
+        if (skip > best) {
+          best = skip;
+          adv = 2;
+        }
       }
       int64_t i = lo[t] + j;
       if (best > NEG_INF / 2 && i < N) {
@@ -123,12 +134,17 @@ int base_loglik_local(const float* x, int64_t T, const int32_t* codes,
       ids[p] = bad ? -1 : id;
     }
   }
-  std::vector<int64_t> seg_start(N, -1), seg_end(N, -1);
-  for (int64_t t = 0; t < T; ++t) {
-    int64_t p = path[t];
-    if (p < 0 || p >= N) continue;
-    if (seg_start[p] < 0) seg_start[p] = t;
-    seg_end[p] = t + 1;
+  // segment bounds by bisection on the monotone path: cnt[i] = #{t : path[t]
+  // < i}, so S = cnt[p_lo] and E = cnt[p_hi + 1]. Stays correct for skip
+  // paths (a skipped position has an empty sample range) — matches
+  // dp_spec.base_substitution_loglik_local's searchsorted semantics.
+  std::vector<int64_t> cnt(N + 1, 0);
+  {
+    int64_t t = 0;
+    for (int64_t i = 0; i <= N; ++i) {
+      while (t < T && path[t] < i) ++t;
+      cnt[i] = t;
+    }
   }
   int64_t first_pos = path[0], last_pos = path[T - 1];
 
@@ -150,8 +166,8 @@ int base_loglik_local(const float* x, int64_t T, const int32_t* codes,
     for (int64_t p = p_lo; p <= p_hi; ++p)
       if (ids[p] < 0) bad = true;
     if (bad) continue;
-    int64_t S = seg_start[p_lo], E = seg_end[p_hi];
-    if (S < 0 || E <= S) continue;
+    int64_t S = cnt[p_lo], E = cnt[p_hi + 1];
+    if (E <= S) continue;
     if (E - S > max_window) E = S + max_window;
     int64_t kk = p_hi - p_lo + 1;
     float scores[4];

@@ -121,11 +121,9 @@ def _run_batches(
 
 def _maybe_subst(genome: Genome, model: KmerModel, cfg: AlignConfig,
                  backend: str):
-    import jax
+    from .pipeline import resolve_backend
 
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" and not cfg.use_skip \
-            else "scan"
+    backend = resolve_backend(cfg, backend)
     if backend != "pallas":
         return None
     from .ops.subst_tables import build_subst_tables

@@ -39,16 +39,28 @@ def simulate_squiggle(
     rng: np.random.Generator,
     mean_dwell: float = 10.0,
     noise_scale: float = 1.0,
+    skip_prob: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample (signal, true_path) for an encoded window.
 
     Dwell time per k-mer position is geometric with the given mean (min 1
-    sample); samples are N(mu_p, sigma_p * noise_scale).
+    sample); samples are N(mu_p, sigma_p * noise_scale). With ``skip_prob``,
+    a position emits zero samples (a pore "skip" event — the motor steps two
+    bases between samples), so the true path advances by 2 there; consecutive
+    skips are suppressed so the path is representable by the DP's max
+    advance-by-2 transition (SURVEY.md §3.4 skip transition).
     """
     mu, sigma = model.expected_signal(window_codes)
     n = len(mu)
     p = 1.0 / mean_dwell
     dwells = rng.geometric(p, size=n)
+    if skip_prob > 0.0 and n > 2:
+        sk = rng.random(n) < skip_prob
+        sk[0] = sk[-1] = False
+        for i in range(1, n):
+            if sk[i] and sk[i - 1]:
+                sk[i] = False
+        dwells[sk] = 0
     path = np.repeat(np.arange(n, dtype=np.int64), dwells)
     signal = rng.normal(mu[path], sigma[path] * noise_scale)
     return signal.astype(np.float64), path
@@ -76,6 +88,7 @@ def simulate_read(
     noise_scale: float = 1.0,
     basecall_sub_rate: float = 0.02,
     read_id: Optional[str] = None,
+    skip_prob: float = 0.0,
 ) -> SimulatedRead:
     """Simulate a full read: window choice, squiggle, noisy basecall, move table."""
     ref = genome[contig]
@@ -85,7 +98,8 @@ def simulate_read(
     if strand is None:
         strand = 1 if rng.random() < 0.5 else -1
     window = genome.window(contig, start, start + L, strand)
-    signal, path = simulate_squiggle(window, model, rng, mean_dwell, noise_scale)
+    signal, path = simulate_squiggle(window, model, rng, mean_dwell, noise_scale,
+                                     skip_prob=skip_prob)
 
     basecall_codes = add_basecall_errors(window, rng, basecall_sub_rate)
     # move table: sample index at which each base's kmer position begins.

@@ -290,25 +290,19 @@ def base_loglik_local_batch(
     tmask = jnp.arange(T)[None, :] < t_len[:, None]
     path_safe = jnp.where(tmask, path, N)  # padding samples -> overflow segment
 
-    # per-position segment boundaries from the global path
-    big = jnp.int32(1 << 30)
-    t_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (R, T))
-
-    def seg_min(p, t):
-        return jax.ops.segment_min(t, p, num_segments=N + 1)[:N]
-
-    seg_start = jax.vmap(seg_min)(path_safe, t_idx)          # (R, N) or big if unvisited
+    # segment bounds from the monotone path by bisection: cnt[i] = #{t :
+    # path[t] < i}, so S = cnt[p_lo], E = cnt[p_hi + 1]. Unlike the previous
+    # seg_start/shifted-seg_end derivation this stays correct when the path
+    # skips positions (cfg.use_skip): a skipped position contributes no
+    # samples but the bounds of the surrounding visited positions are exact.
+    pos_all = jnp.arange(N + 1, dtype=jnp.int32)
+    cnt = jax.vmap(
+        lambda p: jnp.searchsorted(p, pos_all, side="left")
+    )(path_safe).astype(jnp.int32)                           # (R, N + 1)
 
     first_pos = path[:, 0]                                   # (R,)
     last_t = jnp.maximum(t_len - 1, 0)
     last_pos = jnp.take_along_axis(path, last_t[:, None], axis=1)[:, 0]
-    # monotone, no-skip path: each segment ends where the next begins, so
-    # seg_end derives from seg_start with one shift (saves a second scatter)
-    pos_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
-    seg_next = jnp.concatenate(
-        [seg_start[:, 1:], jnp.full((R, 1), 1 << 30, seg_start.dtype)], axis=1
-    )
-    seg_end = jnp.where(pos_idx == last_pos[:, None], t_len[:, None], seg_next)
 
     i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]          # (1, L)
     p_lo = jnp.clip(i_idx - k + 1, 0, N - 1)
@@ -318,8 +312,8 @@ def base_loglik_local_batch(
     kk = p_hi - p_lo + 1                                     # (R, L) positions in window
     valid_i = (kk > 0) & (window_codes < 4) & (i_idx < L)
 
-    S = jnp.take_along_axis(seg_start, jnp.clip(p_lo, 0, N - 1), axis=1)  # (R, L)
-    E = jnp.take_along_axis(seg_end, jnp.clip(p_hi, 0, N - 1), axis=1)
+    S = jnp.take_along_axis(cnt, jnp.clip(p_lo, 0, N), axis=1)       # (R, L)
+    E = jnp.take_along_axis(cnt, jnp.clip(p_hi + 1, 0, N), axis=1)
     W = jnp.clip(E - S, 0, t_w)
 
     # gather sample windows: xs[r, i, s] = x[r, S[r,i] + s]

@@ -35,7 +35,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.base_loglik_local.restype = ctypes.c_int
@@ -62,6 +62,7 @@ def _iptr(a):
 def banded_viterbi_cpu(
     x: np.ndarray, mu: np.ndarray, sigma: np.ndarray, lo: np.ndarray,
     band_width: int, log_p_stay: float, log_p_move: float,
+    log_p_skip: float = -1e30, use_skip: bool = False,
 ) -> Tuple[float, np.ndarray]:
     """Single-read banded Viterbi on the native CPU core."""
     lib = get_lib()
@@ -74,7 +75,8 @@ def banded_viterbi_cpu(
     path = np.empty(T, np.int32)
     rc = lib.banded_viterbi(
         _fptr(x), T, _fptr(mu), _fptr(sigma), N, _iptr(lo), band_width,
-        log_p_stay, log_p_move, ctypes.byref(score), _iptr(path),
+        log_p_stay, log_p_move, log_p_skip, int(use_skip),
+        ctypes.byref(score), _iptr(path),
     )
     if rc != 0:
         raise RuntimeError(f"banded_viterbi failed rc={rc}")

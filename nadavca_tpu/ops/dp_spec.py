@@ -306,13 +306,21 @@ def base_substitution_loglik_local(
     re-optimizes per substitution, which removes the reference-bias of a path
     that was chosen to fit the reference allele.
 
+    Skip-path semantics: the window clamps to the global path's span
+    [path[0], path[-1]]; within the span, S/E are the first/last samples the
+    global path assigned to positions in [p_lo, p_hi] (a bisection on the
+    monotone path, so positions the path skipped contribute no samples but
+    still participate in the restricted DP's level sequence). For a no-skip
+    path every in-span position is visited, so this is exactly "the samples
+    of the overlapped segments".
+
     Returns (L, 4) float64, reference base normalized to 0.
     """
     from ..genome import kmer_ids
 
     L = len(window_codes)
     N = L - k + 1
-    seg_start, seg_end = path_segments(path, N)
+    first_pos, last_pos = int(path[0]), int(path[-1])
     ids = kmer_ids(window_codes, k)
     pow4 = 4 ** np.arange(k - 1, -1, -1)
     out = np.zeros((L, 4))
@@ -321,19 +329,15 @@ def base_substitution_loglik_local(
         ref_base = int(window_codes[i])
         if ref_base > 3:
             continue
-        p_lo = max(0, i - k + 1)
-        p_hi = min(N - 1, i)
+        p_lo = max(max(0, i - k + 1), first_pos)
+        p_hi = min(min(N - 1, i), last_pos)
         if p_hi < p_lo:
             continue
-        # clip to the span the global path actually visited
-        while p_lo <= p_hi and seg_start[p_lo] < 0:
-            p_lo += 1
-        while p_hi >= p_lo and seg_start[p_hi] < 0:
-            p_hi -= 1
-        if p_hi < p_lo:
+        # samples the global path assigned to positions in [p_lo, p_hi]
+        S = int(np.searchsorted(path, p_lo, side="left"))
+        E = int(np.searchsorted(path, p_hi, side="right"))
+        if E <= S:
             continue
-        S = int(seg_start[p_lo])
-        E = int(seg_end[p_hi])
         if E - S > max_window:
             E = S + max_window
         xs = x[S:E]

@@ -20,8 +20,12 @@ TPU-native mapping of the DP specified in ops/dp_spec.py (the reference's C++
     argmax decisions exactly (a per-read constant shift) while the absolute
     score accumulates in a separate f32 register.
 
-The skip transition is not supported here (cfg.use_skip falls back to the
-lax.scan path); stay/move is the reference's default model.
+The optional skip transition (advance by 2 positions — SURVEY.md §3.4
+"possible skip transition V[t−1, i−2]") adds a third candidate to the max and
+a SECOND decision bit-plane: adv ∈ {0, 1, 2} is encoded as (bit0 = adv == 1,
+bit1 = adv == 2), each plane packed 32 steps/word exactly like the stay/move
+bit. When cfg.use_skip is False the kernel compiles to the identical
+single-plane program as before (the skip branch is static).
 """
 
 from __future__ import annotations
@@ -49,21 +53,29 @@ def _fill_kernel(
     dl_ref,       # (1, R_TILE, 1) i32 band advance vs previous chunk
     tlen_ref,     # (R_TILE, 1) i32
     nref_ref,     # (R_TILE, 1) i32
-    # outputs
-    dec_ref,      # (C//32, R_TILE, B) i32 packed move-bits
-    vout_ref,     # (R_TILE, B) f32 final (renormalized) band values
-    accout_ref,   # (R_TILE, 1) f32 renormalization accumulator
+    # outputs (dec2_ref present only when use_skip)
+    # dec_ref     (C//32, R_TILE, B) i32 packed bit-plane 0 (adv == 1)
+    # dec2_ref    (C//32, R_TILE, B) i32 packed bit-plane 1 (adv == 2)
+    # vout_ref    (R_TILE, B) f32 final (renormalized) band values
+    # accout_ref  (R_TILE, 1) f32 renormalization accumulator
     # scratch
-    v_scr,        # (R_TILE, B) f32 carried DP state
-    acc_scr,      # (R_TILE, 1) f32 carried renorm accumulator
-    *,
+    # v_scr       (R_TILE, B) f32 carried DP state
+    # acc_scr     (R_TILE, 1) f32 carried renorm accumulator
+    *refs,
     chunk_size: int,
     band_width: int,
     log_p_stay: float,
     log_p_move: float,
+    log_p_skip: float,
+    use_skip: bool,
     r_tile: int,
     unroll,
 ):
+    if use_skip:
+        dec_ref, dec2_ref, vout_ref, accout_ref, v_scr, acc_scr = refs
+    else:
+        dec_ref, vout_ref, accout_ref, v_scr, acc_scr = refs
+        dec2_ref = None
     R_TILE = r_tile
     c = pl.program_id(1)
     C, B = chunk_size, band_width
@@ -95,14 +107,15 @@ def _fill_kernel(
 
     t0 = c * C
     neg_col = jnp.full((R_TILE, 1), NEG_INF, jnp.float32)
+    neg_col2 = jnp.full((R_TILE, 2), NEG_INF, jnp.float32)
     is_chunk0 = c == 0
     tmask = tlen - t0  # (R_TILE, 1): in-chunk sample s is active iff s < tmask
 
     # One fori_loop over the chunk, fully unrolled by Mosaic; DP state and the
-    # bit-pack register ride the loop carry (vregs), decisions flush to the
+    # bit-pack register(s) ride the loop carry (vregs), decisions flush to the
     # output block every 32 steps.
     def body(s, carry):
-        v, pack = carry
+        v, pack, pack2 = carry
         x_col = x_ref[:, pl.ds(s, 1)]
         diff = x_col - mu
         emit = em_const - diff * diff * inv2v
@@ -110,6 +123,13 @@ def _fill_kernel(
         move = jnp.concatenate([neg_col, v[:, : B - 1]], axis=1) + log_p_move
         bit = move > stay
         best = jnp.maximum(stay, move)
+        if use_skip:
+            # third candidate: advance by 2 (strict > keeps the spec's
+            # first-max tie rule: stay beats move beats skip)
+            skip = jnp.concatenate([neg_col2, v[:, : B - 2]], axis=1) + log_p_skip
+            bit2 = skip > best
+            bit = jnp.logical_and(bit, jnp.logical_not(bit2))
+            best = jnp.maximum(best, skip)
         is_first = jnp.logical_and(is_chunk0, s == 0)
         v_new = jnp.where(is_first, emit, emit + best)
         bit = jnp.logical_and(bit, jnp.logical_not(is_first))
@@ -117,17 +137,26 @@ def _fill_kernel(
         v = jnp.where(active, v_new, v)
         bit = jnp.logical_and(bit, active)
         pack = pack | (bit.astype(jnp.int32) << (s % 32))
+        if use_skip:
+            bit2 = jnp.logical_and(bit2, jnp.logical_not(is_first))
+            bit2 = jnp.logical_and(bit2, active)
+            pack2 = pack2 | (bit2.astype(jnp.int32) << (s % 32))
 
         @pl.when(s % 32 == 31)
         def _():
             dec_ref[pl.ds(s // 32, 1)] = pack.reshape(1, R_TILE, B)
+            if use_skip:
+                dec2_ref[pl.ds(s // 32, 1)] = pack2.reshape(1, R_TILE, B)
 
         pack = jnp.where(s % 32 == 31, jnp.zeros_like(pack), pack)
-        return v, pack
+        if use_skip:
+            pack2 = jnp.where(s % 32 == 31, jnp.zeros_like(pack2), pack2)
+        return v, pack, pack2
 
-    v, _ = jax.lax.fori_loop(
+    v, _, _ = jax.lax.fori_loop(
         0, C, body,
-        (v_scr[:], jnp.zeros((R_TILE, B), jnp.int32)),
+        (v_scr[:], jnp.zeros((R_TILE, B), jnp.int32),
+         jnp.zeros((R_TILE, B), jnp.int32)),
         unroll=unroll,
     )
 
@@ -152,13 +181,17 @@ def viterbi_fill_pallas(
     cfg: AlignConfig,
     interpret: bool = False,
 ):
-    """Run the fill kernel. Returns (decs (T//32, R, B) i32, V (R, B), acc (R,))."""
+    """Run the fill kernel.
+
+    Returns (decs, V (R, B), acc (R,)) where decs is a tuple of packed
+    decision bit-planes: (plane0,) without skip, (plane0, plane1) with skip —
+    each (T//32, R, B) i32.
+    """
     R, T = x.shape
     B = cfg.band_width
     C = cfg.signal_chunk
     assert R % cfg.read_tile == 0, f"batch must be a multiple of {cfg.read_tile} reads"
     assert T % C == 0 and C % 32 == 0
-    assert not cfg.use_skip, "pallas path does not support skip; use scan path"
     n_chunks = T // C
     assert mu_band.shape == (n_chunks, R, B)
 
@@ -169,11 +202,17 @@ def viterbi_fill_pallas(
         band_width=B,
         log_p_stay=cfg.log_p_stay,
         log_p_move=cfg.log_p_move,
+        log_p_skip=cfg.log_p_skip,
+        use_skip=cfg.use_skip,
         r_tile=R_TILE,
         unroll=cfg.kernel_unroll,
     )
     grid = (R // R_TILE, n_chunks)
-    decs, v_fin, acc_fin = pl.pallas_call(
+    n_planes = 2 if cfg.use_skip else 1
+    dec_spec = pl.BlockSpec((C // 32, R_TILE, B), lambda r, c: (c, r, 0),
+                            memory_space=pltpu.VMEM)
+    dec_shape = jax.ShapeDtypeStruct((T // 32, R, B), jnp.int32)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -185,13 +224,11 @@ def viterbi_fill_pallas(
             pl.BlockSpec((R_TILE, 1), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R_TILE, 1), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((C // 32, R_TILE, B), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM),
+        out_specs=[dec_spec] * n_planes + [
             pl.BlockSpec((R_TILE, B), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R_TILE, 1), lambda r, c: (r, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T // 32, R, B), jnp.int32),
+        out_shape=[dec_shape] * n_planes + [
             jax.ShapeDtypeStruct((R, B), jnp.float32),
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
         ],
@@ -200,8 +237,9 @@ def viterbi_fill_pallas(
             pltpu.VMEM((R_TILE, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=12 * R * T * B,
-            bytes_accessed=int(x.size * 4 + mu_band.size * 8 + (T // 32) * R * B * 4),
+            flops=(12 + 3 * (n_planes - 1)) * R * T * B,
+            bytes_accessed=int(x.size * 4 + mu_band.size * 8
+                               + n_planes * (T // 32) * R * B * 4),
             transcendentals=R * n_chunks * B,
         ),
         interpret=interpret,
@@ -214,12 +252,14 @@ def viterbi_fill_pallas(
         t_len.reshape(R, 1).astype(jnp.int32),
         n_ref.reshape(R, 1).astype(jnp.int32),
     )
+    decs = tuple(outs[:n_planes])
+    v_fin, acc_fin = outs[n_planes], outs[n_planes + 1]
     return decs, v_fin, acc_fin[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size",))
 def backtrack_from_bits(
-    decs: jax.Array,    # (T//32, R, B) i32 packed move-bits
+    decs,               # tuple of (T//32, R, B) i32 packed decision planes
     lo: jax.Array,      # (R, n_chunks) i32
     delta: jax.Array,   # (R, n_chunks) i32
     j_end: jax.Array,   # (R,) i32
@@ -229,9 +269,13 @@ def backtrack_from_bits(
 
     A reverse lax.scan with one (R,)-gather per step; padding steps are
     identity because their bits are 0 (stay) and their band never moves.
-    Returns path (R, T) int32.
+    decs is the bit-plane tuple from viterbi_fill_pallas: adv = plane0 +
+    2·plane1 (plane1 only present under cfg.use_skip). Returns path (R, T)
+    int32.
     """
-    Tw, R, B = decs.shape
+    dec0 = decs[0]
+    dec1 = decs[1] if len(decs) > 1 else None
+    Tw, R, B = dec0.shape
     T = Tw * 32
     C = chunk_size
     assert C % 32 == 0
@@ -247,7 +291,9 @@ def backtrack_from_bits(
         # w runs Tw-1 .. 0; within the word, bits t = 32w+31 .. 32w (but the
         # t = T-1 transition is consumed by the caller's argmax, so the first
         # processed t is T-2... handled by masking below)
-        word = jax.lax.dynamic_index_in_dim(decs, w, axis=0, keepdims=False)
+        word = jax.lax.dynamic_index_in_dim(dec0, w, axis=0, keepdims=False)
+        word1 = (jax.lax.dynamic_index_in_dim(dec1, w, axis=0, keepdims=False)
+                 if dec1 is not None else None)
         dcol = jax.lax.dynamic_index_in_dim(delta.T, w * 32 // C, axis=0,
                                             keepdims=False)  # (R,) delta of this chunk
         positions = []
@@ -256,6 +302,8 @@ def backtrack_from_bits(
             t = w * 32 + s
             onehot = lane == j[:, None]
             bits = (word >> s) & 1
+            if word1 is not None:
+                bits = bits + 2 * ((word1 >> s) & 1)
             adv = jnp.sum(jnp.where(onehot, bits, 0), axis=1)
             d = jnp.where((t % C) == 0, dcol, 0)
             j_prev = j + d - adv
@@ -343,22 +391,31 @@ def pallas_viterbi_batch(
 # a handful of same-layout vector ops — no cross-lane reductions and no
 # (R,)↔(R, B) relayouts inside the bit loop (the previous kernel paid both
 # per step; 17.7 ms → ~4 ms at bench shapes). The kernel emits one packed
-# advance-bit word per (read, word); the position sequence is then a reverse
-# cumsum in XLA: j[t-1] = j[t] + delta[t] − adv[t], path = lo + j.
+# advance-bit word per (read, word, plane); the position sequence is then a
+# reverse cumsum in XLA: j[t-1] = j[t] + delta[t] − adv[t], path = lo + j.
+# With skip (two decision planes) the walk shifts the one-hot by 1 or 2 lanes
+# and emits a second packed word so adv ∈ {0, 1, 2} is recoverable.
 # --------------------------------------------------------------------------
 
 def _advbits_kernel(
-    dec_ref,     # (1, R, B) i32: decision word slab (word w = Tw-1-g)
-    dl_ref,      # (1, R, 1) i32: band delta of this word's chunk
-    jend_ref,    # (R, 1) i32: argmax band slot (consumed at g == 0)
-    adv_ref,     # (1, R, 1) i32 out: packed adv bits of this word
-    p_scr,       # (R, B) i32 carried one-hot pointer plane
-    *,
+    # inputs: dec_ref (1, R, B) decision plane0 word slab (word w = Tw-1-g);
+    #   [dec2_ref (1, R, B) plane1 when use_skip;] dl_ref (1, R, 1) band delta
+    #   of this word's chunk; jend_ref (R, 1) argmax band slot (read at g==0)
+    # outputs: adv_ref (1, R, 1) packed adv bit0 of this word
+    #   [adv2_ref (1, R, 1) packed adv bit1 when use_skip]
+    # scratch: p_scr (R, B) carried one-hot pointer plane
+    *refs,
     n_words: int,
     chunk_size: int,
     band_width: int,
     r: int,
+    use_skip: bool,
 ):
+    if use_skip:
+        dec_ref, dec2_ref, dl_ref, jend_ref, adv_ref, adv2_ref, p_scr = refs
+    else:
+        dec_ref, dl_ref, jend_ref, adv_ref, p_scr = refs
+        dec2_ref = adv2_ref = None
     g = pl.program_id(0)
     w = n_words - 1 - g
     B = band_width
@@ -370,23 +427,36 @@ def _advbits_kernel(
         p_scr[:] = (lane == jend_ref[:]).astype(jnp.int32)
 
     word = dec_ref[0]                       # (R, B)
+    word2 = dec2_ref[0] if use_skip else None
     zero_col = jnp.zeros((r, 1), jnp.int32)
+    zero_col2 = jnp.zeros((r, 2), jnp.int32)
 
     def body(i, carry):
-        p, pack = carry
+        p, pack, pack2 = carry
         s = 31 - i                          # walk t = 32w+31 .. 32w
         moved = p & ((word >> s) & 1)       # one-hot at the pointer, iff move
-        p = p - moved + jnp.concatenate([moved[:, 1:], zero_col], axis=1)
+        if use_skip:
+            skipped = p & ((word2 >> s) & 1)
+            p = (p - moved - skipped
+                 + jnp.concatenate([moved[:, 1:], zero_col], axis=1)
+                 + jnp.concatenate([skipped[:, 2:], zero_col2], axis=1))
+            pack2 = pack2 | (skipped << s)
+        else:
+            p = p - moved + jnp.concatenate([moved[:, 1:], zero_col], axis=1)
         # distinct steps set distinct bit positions, so the lane-sum at the
         # end of the word reassembles the packed adv bits without collisions
         pack = pack | (moved << s)
-        return p, pack
+        return p, pack, pack2
 
-    p, pack = jax.lax.fori_loop(
-        0, 32, body, (p_scr[:], jnp.zeros((r, B), jnp.int32)), unroll=True
+    p, pack, pack2 = jax.lax.fori_loop(
+        0, 32, body,
+        (p_scr[:], jnp.zeros((r, B), jnp.int32), jnp.zeros((r, B), jnp.int32)),
+        unroll=True,
     )
     p_scr[:] = p
     adv_ref[0] = jnp.sum(pack, axis=1, keepdims=True)
+    if use_skip:
+        adv2_ref[0] = jnp.sum(pack2, axis=1, keepdims=True)
 
     # crossing into the previous chunk: slot j here is slot j + delta there
     @pl.when((w % (C // 32)) == 0)
@@ -399,38 +469,47 @@ def _advbits_kernel(
 
 def backtrack_pallas(decs, lo, delta, j_end, chunk_size: int,
                      interpret: bool = False):
-    """Pallas replacement for backtrack_from_bits. Same contract."""
-    Tw, R, B = decs.shape
+    """Pallas replacement for backtrack_from_bits. Same contract (decs is the
+    bit-plane tuple from viterbi_fill_pallas)."""
+    use_skip = len(decs) > 1
+    Tw, R, B = decs[0].shape
     T = Tw * 32
     C = chunk_size
     n_chunks = lo.shape[1]
     assert C % 32 == 0
     kernel = functools.partial(
-        _advbits_kernel, n_words=Tw, chunk_size=C, band_width=B, r=R
+        _advbits_kernel, n_words=Tw, chunk_size=C, band_width=B, r=R,
+        use_skip=use_skip,
     )
     dl_cm = delta.T[:, :, None].astype(jnp.int32)
 
-    advw = pl.pallas_call(
+    dec_spec = pl.BlockSpec((1, R, B), lambda g: (Tw - 1 - g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    adv_spec = pl.BlockSpec((1, R, 1), lambda g: (Tw - 1 - g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    adv_shape = jax.ShapeDtypeStruct((Tw, R, 1), jnp.int32)
+    n_planes = 2 if use_skip else 1
+    out = pl.pallas_call(
         kernel,
         grid=(Tw,),
-        in_specs=[
-            pl.BlockSpec((1, R, B), lambda g: (Tw - 1 - g, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[dec_spec] * n_planes + [
             pl.BlockSpec((1, R, 1), lambda g: ((Tw - 1 - g) * 32 // C, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R, 1), lambda g: (Tw - 1 - g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tw, R, 1), jnp.int32),
+        out_specs=[adv_spec] * n_planes,
+        out_shape=[adv_shape] * n_planes,
         scratch_shapes=[pltpu.VMEM((R, B), jnp.int32)],
         interpret=interpret,
-    )(decs, dl_cm, j_end.reshape(R, 1).astype(jnp.int32))
+    )(*decs, dl_cm, j_end.reshape(R, 1).astype(jnp.int32))
+    advw = out[0]
 
     # j[t-1] = j[t] + d[t] − adv[t] with d[t] = delta[t // C] iff t % C == 0,
     # so j at time t is j_end plus the suffix sum of (d − adv) over u > t.
     shifts = jnp.arange(32, dtype=jnp.int32)
     adv = ((advw[:, None, :, 0] >> shifts[None, :, None]) & 1)   # (Tw, 32, R)
+    if use_skip:
+        adv = adv + 2 * ((out[1][:, None, :, 0] >> shifts[None, :, None]) & 1)
     adv = adv.reshape(T, R).T.astype(jnp.int32)                  # (R, T)
     d_full = jnp.concatenate(
         [delta[:, :, None].astype(jnp.int32),

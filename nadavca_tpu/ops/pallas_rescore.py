@@ -204,12 +204,13 @@ def base_loglik_local_pallas(
                                constant_values=4)
     N = ids.shape[1]
 
-    # ---- window bounds from the global path. The path is monotone and
-    # no-skip (the pallas fill asserts !use_skip), so segment bounds are
-    # bisection counts: seg_start[i] = #{t : path[t] < i}, seg_end[i] =
-    # #{t : path[t] <= i} — one dense Pallas counting pass instead of the
-    # segment_min scatter (86 ms -> ~3 ms at bench shapes). Count index i
-    # runs 0..N so both bounds come from one array.
+    # ---- window bounds from the global path. The path is monotone (skip
+    # transitions only make it jump by 2 — the bisection identity still
+    # holds, skipped positions just get empty sample ranges), so segment
+    # bounds are bisection counts: seg_start[i] = #{t : path[t] < i},
+    # seg_end[i] = #{t : path[t] <= i} — one dense Pallas counting pass
+    # instead of the segment_min scatter (86 ms -> ~3 ms at bench shapes).
+    # Count index i runs 0..N so both bounds come from one array.
     tmask = jnp.arange(T)[None, :] < t_len[:, None]
     path_safe = jnp.where(tmask, path, N)
     Np = -(-(N + 1) // 128) * 128

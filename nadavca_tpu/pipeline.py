@@ -348,7 +348,7 @@ def _device_step(
 
 def resolve_backend(cfg: AlignConfig, backend: str = "auto") -> str:
     if backend == "auto":
-        backend = "pallas" if device_backend() == "tpu" and not cfg.use_skip else "scan"
+        backend = "pallas" if device_backend() == "tpu" else "scan"
     if backend not in ("pallas", "scan"):
         raise ValueError(f"unknown backend {backend!r}")
     return backend
