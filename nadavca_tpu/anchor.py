@@ -94,15 +94,32 @@ def anchor_basecall(
     diag_bin: int = 32,
     min_votes: int = 5,
     margin: int = 10,
+    max_drift: Optional[int] = None,
 ) -> Optional[Anchor]:
-    """Anchor a basecalled sequence: best (strand, contig, diagonal) by votes."""
+    """Anchor a basecalled sequence: best (strand, contig, diagonal) by votes.
+
+    The base→window map is a piecewise-linear fit through the seed chain
+    (``np.interp`` over the winning hits), not a single rigid diagonal: real
+    basecalls carry ~5–10% insertions/deletions, which make the true mapping
+    drift away from any one diagonal by O(indel_rate · read_len) bases —
+    enough to walk a long read out of the DP band. Hits within ``max_drift``
+    (default ``max(2·diag_bin, 15% of read length)``) of the winning coarse
+    diagonal are chained; the fit reduces exactly to the old ``base0 + i``
+    diagonal when the basecall has no indels (all hits share one diagonal).
+    The reference absorbs indels via a full bwa alignment (SURVEY.md §2
+    "Approximate aligner"); this is the equivalent lightweight mechanism.
+    """
     codes = encode_bases(basecall) if isinstance(basecall, (str, bytes)) else basecall
     k = index.seed_k
     n = len(codes) - k + 1
     if n <= 0:
         return None
+    n_bases = len(codes)
+    if max_drift is None:
+        max_drift = max(2 * diag_bin, int(0.15 * n_bases))
 
-    best = None  # (votes, strand, contig, diag_center)
+    best = None        # (votes, strand, contig_idx, diag_center_bases)
+    best_hits = None   # (pos, read_off) of hits near the winning diagonal
     for strand, c in ((+1, codes), (-1, reverse_complement(codes))):
         ids = kmer_ids(c, k)
         sub = ids[::seed_stride]
@@ -125,34 +142,48 @@ def anchor_basecall(
         if best is None or votes > best[0]:
             ci = int(uniq[top] >> 40)
             dg = int((uniq[top] & ((1 << 40) - 1)) - (1 << 30))
-            # window span from the hits on the winning diagonal (±1 bin)
-            on = (contig == ci) & (np.abs(diag - dg) <= 1)
-            lo_pos = int(pos[on].min())
-            hi_pos = int(pos[on].max()) + k
-            first_off = int(read_off[on].min())
-            last_off = int(read_off[on].max())
-            best = (votes, strand, ci, lo_pos, hi_pos, first_off, last_off)
+            d0 = dg * diag_bin + diag_bin // 2
+            on = (contig == ci) & (np.abs((pos - read_off) - d0)
+                                   <= max_drift + diag_bin)
+            best = (votes, strand, ci, d0)
+            best_hits = (pos[on], read_off[on])
 
     if best is None or best[0] < min_votes:
         return None
-    votes, strand, ci, lo_pos, hi_pos, first_off, last_off = best
+    votes, strand, ci, d0 = best
+    pos_h, off_h = best_hits
+    # second, tighter outlier pass around the hit population's own median
+    c_h = pos_h - off_h  # genome-diagonal of each hit
+    med = float(np.median(c_h))
+    keep = np.abs(c_h - med) <= max_drift
+    pos_h, off_h = pos_h[keep], off_h[keep]
     clen = index.contig_lengths[ci]
-    n_bases = len(codes)
-    # extend window to cover the whole read plus margin
-    start = max(0, lo_pos - first_off - margin)
-    end = min(clen, hi_pos + (n_bases - last_off - k) + margin)
-    # window coordinate of read base i is base0 + i. Forward: seed hit
-    # (o=first_off, p=lo_pos) gives read[o] ~ window[p - start], so
-    # base0 = (lo_pos - start) - first_off. Reverse: the window is the
-    # revcomp of genome[start:end], and the seed hit is on the revcomp'd
-    # read, rc_read[o+j] == genome[p+j]; unwinding both complements gives
-    # read[i] ~ window[(end - p - n + o) + i], i.e.
-    # base0 = end - lo_pos - n + first_off (derivation in tests/test_anchor).
+    # window span: extrapolate the read's full extent from every kept hit
+    start = int(max(0, (pos_h - off_h).min() - margin))
+    end = int(min(clen, (pos_h + (n_bases - off_h)).max() + margin))
+    # Anchor points in read coordinates. A hit (o, p) means k-mer o of the
+    # strand-oriented sequence matches genome[p:p+k]. Forward: read base
+    # i = o sits at window offset m = p − start. Reverse: the window is the
+    # revcomp of genome[start:end) and the hit is on the revcomp'd read
+    # (rc_read[o+j] == genome[p+j]); unwinding both complements, read base
+    # i = n_bases−1−o sits at m = (end − p − n_bases + o) + i (derivation in
+    # tests/test_anchor.py).
     if strand > 0:
-        base0 = (lo_pos - start) - first_off
+        i_pts = off_h.astype(np.float64)
+        m_pts = (pos_h - start).astype(np.float64)
     else:
-        base0 = (end - lo_pos - n_bases) + first_off
-    base_to_window = base0 + np.arange(n_bases, dtype=np.float64)
+        i_pts = (n_bases - 1 - off_h).astype(np.float64)
+        m_pts = (end - pos_h - n_bases + off_h) + i_pts
+    order = np.argsort(i_pts, kind="stable")
+    i_pts, m_pts = i_pts[order], m_pts[order]
+    i_pts, first_idx = np.unique(i_pts, return_index=True)
+    c_pts = (m_pts - i_pts)[first_idx]  # window-diagonal offset per anchor point
+    # piecewise-linear drift between anchor points; constant (slope-1 map)
+    # beyond the first/last seed; cummax guards residual non-monotonicity
+    i_all = np.arange(n_bases, dtype=np.float64)
+    base_to_window = np.interp(i_all, i_pts, c_pts) + i_all
+    base_to_window = np.maximum.accumulate(base_to_window)
+    base_to_window = np.clip(base_to_window, 0, max(end - start - 1, 0))
     return Anchor(
         contig=index.contig_names[ci],
         strand=strand,

@@ -76,6 +76,44 @@ def add_basecall_errors(
     return out
 
 
+def corrupt_basecall(
+    codes: np.ndarray,
+    move_index: np.ndarray,
+    rng: np.random.Generator,
+    sub_rate: float = 0.02,
+    ins_rate: float = 0.0,
+    del_rate: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Apply substitution + insertion + deletion errors to a basecall.
+
+    Real basecalls carry ~5–10% indels, which the rigid no-indel corruption
+    (:func:`add_basecall_errors`) cannot model; the indel-tolerant anchorer
+    (anchor.py piecewise-linear seed-chain fit) is tested against this.
+    Returns (codes', move_index'): a deleted base drops its move entry; an
+    inserted base is a uniform random base inheriting the signal sample of
+    the base it follows (so the basecall↔signal composition stays monotone,
+    matching real basecaller move-table semantics).
+    """
+    if ins_rate <= 0.0 and del_rate <= 0.0:
+        return add_basecall_errors(codes, rng, sub_rate), move_index.copy()
+    out_c: list = []
+    out_m: list = []
+    for i, c in enumerate(codes):
+        if rng.random() < del_rate:
+            continue
+        b = int(c)
+        if rng.random() < sub_rate:
+            b = (b + int(rng.integers(1, 4))) % 4
+        out_c.append(b)
+        out_m.append(move_index[i])
+        while rng.random() < ins_rate:
+            out_c.append(int(rng.integers(0, 4)))
+            out_m.append(move_index[i])
+    if not out_c:  # pathological rates: keep one base so downstream holds
+        out_c, out_m = [int(codes[0])], [move_index[0]]
+    return np.asarray(out_c, np.int8), np.asarray(out_m, np.int64)
+
+
 def simulate_read(
     genome,
     contig: str,
@@ -89,6 +127,8 @@ def simulate_read(
     basecall_sub_rate: float = 0.02,
     read_id: Optional[str] = None,
     skip_prob: float = 0.0,
+    basecall_ins_rate: float = 0.0,
+    basecall_del_rate: float = 0.0,
 ) -> SimulatedRead:
     """Simulate a full read: window choice, squiggle, noisy basecall, move table."""
     ref = genome[contig]
@@ -101,7 +141,6 @@ def simulate_read(
     signal, path = simulate_squiggle(window, model, rng, mean_dwell, noise_scale,
                                      skip_prob=skip_prob)
 
-    basecall_codes = add_basecall_errors(window, rng, basecall_sub_rate)
     # move table: sample index at which each base's kmer position begins.
     # kmer position p starts at the first t with path[t] == p; base index i is
     # approximated by kmer start position (standard basecaller convention).
@@ -112,11 +151,15 @@ def simulate_read(
         if not seen[p_]:
             first_t[p_] = t
             seen[p_] = True
-    # bases beyond the last kmer start inherit the final sample index
-    last = len(signal) - 1
+    # bases beyond the last kmer start (and skipped positions) inherit the
+    # previous base's sample index
     for i in range(len(window)):
         if first_t[i] < 0:
             first_t[i] = first_t[i - 1] if i > 0 else 0
+    basecall_codes, move = corrupt_basecall(
+        window, first_t, rng, basecall_sub_rate,
+        basecall_ins_rate, basecall_del_rate,
+    )
     rid = read_id or f"sim_{contig}_{start}_{'+' if strand > 0 else '-'}_{rng.integers(1 << 30)}"
     return SimulatedRead(
         read_id=rid,
@@ -128,7 +171,7 @@ def simulate_read(
         ref_end=start + L,
         strand=strand,
         basecall=decode_bases(basecall_codes),
-        move_index=first_t,
+        move_index=move,
     )
 
 
