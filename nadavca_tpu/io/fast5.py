@@ -105,6 +105,40 @@ def write_fast5(
 
 
 # ------------------------------------------------------------------- reading
+VBZ_FILTER_ID = 32020  # ONT's vbz HDF5 compression plugin
+
+
+def _read_signal(dset) -> np.ndarray:
+    """Read a raw Signal dataset, diagnosing missing HDF5 filter plugins.
+
+    Most real-world fast5 files compress the signal with ONT's out-of-tree
+    ``vbz`` HDF5 plugin; without it h5py raises an opaque OSError from deep
+    inside libhdf5. Translate that into an actionable message (and name vbz
+    explicitly when filter id 32020 is on the dataset).
+    """
+    try:
+        return dset[:]
+    except OSError as e:
+        filters = []
+        try:
+            plist = dset.id.get_create_plist()
+            filters = [plist.get_filter(i)[0] for i in range(plist.get_nfilters())]
+        except Exception:
+            pass
+        if VBZ_FILTER_ID in filters:
+            raise RuntimeError(
+                f"{dset.file.filename}: signal is vbz-compressed (HDF5 filter "
+                f"{VBZ_FILTER_ID}) and the vbz plugin is not available. "
+                "Install ont-vbz-hdf5-plugin and set HDF5_PLUGIN_PATH, or "
+                "re-write the file uncompressed "
+                "(h5repack -f NONE in.fast5 out.fast5)."
+            ) from e
+        raise RuntimeError(
+            f"{dset.file.filename}: cannot read signal dataset "
+            f"(HDF5 filters {filters or 'unknown'} unavailable): {e}"
+        ) from e
+
+
 def _calibrate(dac: np.ndarray, ch_attrs) -> np.ndarray:
     dig = float(ch_attrs.get("digitisation", 8192.0))
     off = float(ch_attrs.get("offset", 0.0))
@@ -126,7 +160,7 @@ def _read_single(f) -> List[RawRead]:
     reads = []
     ch = f["UniqueGlobalKey/channel_id"].attrs if "UniqueGlobalKey" in f else {}
     for name, grp in f["Raw/Reads"].items():
-        dac = grp["Signal"][:]
+        dac = _read_signal(grp["Signal"])
         rid = grp.attrs.get("read_id", name)
         if isinstance(rid, bytes):
             rid = rid.decode("ascii")
@@ -174,7 +208,7 @@ def read_fast5(path: str) -> List[RawRead]:
             if not name.startswith("read_"):
                 continue
             g = f[name]
-            dac = g["Raw/Signal"][:]
+            dac = _read_signal(g["Raw/Signal"])
             ch = g["channel_id"].attrs if "channel_id" in g else {}
             rid = g["Raw"].attrs.get("read_id", name[5:])
             if isinstance(rid, bytes):

@@ -16,7 +16,7 @@ import numpy as np
 
 from .fast5 import RawRead
 
-try:  # pragma: no cover - pod5 not present in this sandbox
+try:
     import pod5 as _pod5
 
     HAVE_POD5 = True
@@ -33,7 +33,7 @@ def read_pod5(path: str) -> List[RawRead]:
             "in this environment; convert to fast5 or install pod5."
         )
     out: List[RawRead] = []
-    with _pod5.Reader(path) as reader:  # pragma: no cover
+    with _pod5.Reader(path) as reader:
         for rec in reader.reads():
             calib = rec.calibration
             signal_pa = (rec.signal.astype(np.float32) + calib.offset) * calib.scale

@@ -39,32 +39,61 @@ class KmerModel:
 
     # ------------------------------------------------------------------ load
     @classmethod
-    def load_tsv(cls, path: str) -> "KmerModel":
-        """Load an ONT-style tsv: columns kmer, level_mean, level_stdv[, ...]."""
+    def load_tsv(cls, path: str, normalize: str = "auto") -> "KmerModel":
+        """Load an ONT-style tsv: columns kmer, level_mean, level_stdv[, ...].
+
+        Handles the quirks of real ONT model files (e.g.
+        ``r9.4_450bps.nucleotide.6mer.template.model``): a ``kmer\\tlevel_mean
+        \\tlevel_stdv\\tsd_mean\\tsd_stdv\\tweight`` header, extra columns,
+        comment lines, CRLF endings, and whitespace-delimited variants.
+
+        ``normalize``: real ONT tables are in picoamps (~60–120 pA levels)
+        while this pipeline MAD-normalizes the raw signal to zero-median /
+        unit scale, so a pA-scale table must be standardized by the same
+        affine map: mu' = (mu − mean(mu))/s, sigma' = sigma/s with
+        s = std(mu). "auto" (default) standardizes iff the table looks
+        pA-scale (std of the means > 3); "always"/"never" force it.
+        """
         kmers, means, stds = [], [], []
         with open(path) as f:
             for line in f:
                 line = line.strip()
                 if not line or line.startswith("#") or line.lower().startswith("kmer"):
                     continue
-                parts = line.split("\t")
-                kmers.append(parts[0])
+                parts = line.split("\t") if "\t" in line else line.split()
+                if len(parts) < 3:
+                    raise ValueError(f"{path}: bad model line {line!r}")
+                kmers.append(parts[0].upper())
                 means.append(float(parts[1]))
                 stds.append(float(parts[2]))
+        if not kmers:
+            raise ValueError(f"{path}: no k-mer rows found")
         k = len(kmers[0])
         mean_arr = np.zeros(4 ** k, dtype=np.float64)
         std_arr = np.full(4 ** k, np.nan, dtype=np.float64)
         from .genome import encode_bases
 
         for km, m, s in zip(kmers, means, stds):
+            if len(km) != k:
+                raise ValueError(f"{path}: mixed k-mer lengths ({km!r} vs k={k})")
             codes = encode_bases(km)
+            if (codes > 3).any():
+                raise ValueError(f"{path}: non-ACGT k-mer {km!r}")
             idx = 0
             for c in codes:
                 idx = idx * 4 + int(c)
             mean_arr[idx] = m
             std_arr[idx] = s
         if np.isnan(std_arr).any():
-            raise ValueError(f"model file {path} does not cover all 4^{k} kmers")
+            n_missing = int(np.isnan(std_arr).sum())
+            raise ValueError(
+                f"model file {path} covers {4 ** k - n_missing}/{4 ** k} kmers")
+        if normalize not in ("auto", "always", "never"):
+            raise ValueError(f"normalize={normalize!r}")
+        if normalize == "always" or (normalize == "auto" and mean_arr.std() > 3.0):
+            s = mean_arr.std() or 1.0
+            mean_arr = (mean_arr - mean_arr.mean()) / s
+            std_arr = std_arr / s
         return cls(k, mean_arr.astype(np.float32), std_arr.astype(np.float32))
 
     @classmethod
