@@ -94,6 +94,7 @@ def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
 
 
 def _rescore_kernel(
+    wm_ref,    # (R//RT, L//LT) i32 scalar-prefetch: max live W per tile
     xs_ref,    # (t_w, RT, LT) f32: sample s of each position's window
     em_ref,    # (k*4, RT, LT) f32: -log sigma' - c, NEG_INF at dead (j, b)
     mu_ref,    # (k*4, RT, LT) f32: substituted level means
@@ -130,7 +131,12 @@ def _rescore_kernel(
         active = (s < w)[None, None]                 # (1, 1, RT, LT)
         return jnp.where(active, v_new, v)
 
-    v = jax.lax.fori_loop(1, t_w, body, v0)
+    # dynamic trip count: steps s >= max(W) of this tile are identity for
+    # every lane (the active mask), so stopping at the tile's own max is
+    # exact. Typical windows are ~k·dwell ≈ 60 samples vs the static
+    # t_w = 192 bound — most tiles run 2–3× fewer steps.
+    wm = jnp.minimum(wm_ref[pl.program_id(0), pl.program_id(1)], t_w)
+    v = jax.lax.fori_loop(1, wm, body, v0)
 
     kk1 = kk_ref[:] - 1                               # (RT, LT)
     out = jnp.zeros((4, RT, LT), jnp.float32)
@@ -151,18 +157,26 @@ def rescore_fill_pallas(xs, em, mu, iv, w, kk, cfg: AlignConfig, t_w: int,
         log_p_stay=cfg.log_p_stay, log_p_move=cfg.log_p_move,
     )
     grid = (R // RT, L // LT)
-    return pl.pallas_call(
-        kernel,
+    wmax = jnp.max(
+        w.reshape(R // RT, RT, L // LT, LT), axis=(1, 3)
+    ).astype(jnp.int32)                              # (R//RT, L//LT)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t_w, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * 4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * 4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * 4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, LT), lambda r, l: (r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, LT), lambda r, l: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_w, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, RT, LT), lambda r, l: (0, r, l), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4, RT, LT), lambda r, l, *_: (0, r, l),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, R, L), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=8 * R * L * t_w * k * 4,
@@ -170,7 +184,7 @@ def rescore_fill_pallas(xs, em, mu, iv, w, kk, cfg: AlignConfig, t_w: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xs, em, mu, iv, w, kk)
+    )(wmax, xs, em, mu, iv, w, kk)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "t_w", "cfg", "interpret"))
