@@ -7,7 +7,11 @@ optimization effort goes where the wall-clock is (SURVEY §5 tracing row).
 Run on the real chip: python scripts/profile_stages.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
