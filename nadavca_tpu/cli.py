@@ -197,12 +197,14 @@ def cmd_align(args) -> int:
         score, path, base_ll = align_steps[key](_staged_inputs(staged))
         return {"score": score, "path": path, "base_loglik": base_ll}
 
-    for group, gcfg, batch, staged in _prefetched(
-            _iter_batches(records, args.batch_reads), _prep):
-        waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
-        metrics.gauge("padding_waste", waste)
-        out = _run_batch(gcfg, batch, staged)
-        paths = np.asarray(out["path"])
+    import collections
+
+    pending = collections.deque()
+
+    def _drain_one():
+        nonlocal n_done
+        group, batch, out = pending.popleft()
+        paths = np.asarray(out["path"])  # device fetch (true sync)
         for r in range(batch.n_reads):
             t = int(batch.t_len[r])
             n = int(batch.n_ref[r])
@@ -215,6 +217,19 @@ def cmd_align(args) -> int:
             )
             n_done += 1
         metrics.count("reads_aligned", batch.n_reads)
+
+    # lagged drain: batch N's path fetch + file writes overlap the device
+    # compute of batch N+1 (already dispatched) instead of serializing
+    for group, gcfg, batch, staged in _prefetched(
+            _iter_batches(records, args.batch_reads), _prep):
+        waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
+        metrics.gauge("padding_waste", waste)
+        out = _run_batch(gcfg, batch, staged)
+        pending.append((group, batch, out))
+        while len(pending) > 1:
+            _drain_one()
+    while pending:
+        _drain_one()
     dt = time.time() - t0
     metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
     metrics.report(sys.stderr)
@@ -323,32 +338,45 @@ def cmd_snp(args) -> int:
         key = (gcfg, staged["backend"], staged["mu_b"] is not None,
                staged["tmu"] is not None)
         if key not in steps:
+            # the SNP loop never reads the Viterbi path — drop it from the
+            # step outputs (saves an R·T·4-byte HBM materialization per batch)
             steps[key] = sharded.make_sharded_step(
                 mesh, gcfg, Gp, backend=staged["backend"], k=staged["k"],
                 genome_sharded=genome_sharded,
                 use_bands=staged["mu_b"] is not None,
                 use_tables=staged["tmu"] is not None,
+                with_path=False,
             )
         return steps[key]
 
+    import collections
+
     seen_shapes = set()
-    steady_reads, steady_secs = 0, 0.0
+    steady_reads, steady_t0 = 0, None
+    # lagged drain: dispatch batch N+1 before syncing batch N's result, so
+    # host Python / tunnel RTT overlaps device compute (the old per-batch
+    # np.asarray(score) sync serialized dispatch → compute → fetch and was
+    # the main CLI-vs-device throughput gap). Depth 2 bounds device queueing.
+    pending = collections.deque()
     for group, gcfg, batch, staged, extra in _prefetched(
             _iter_batches(records, args.batch_reads), _prep):
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
         shape_key = (batch.shapes, gcfg.band_width)
-        tb = time.time()
+        if shape_key in seen_shapes and steady_t0 is None:
+            # first batch whose executable is already compiled: steady-state
+            # throughput window starts here (earlier wall is remote-compile)
+            steady_t0 = time.time()
         step = get_step(gcfg, staged)
-        score, _path, acc, cov, votes = step(
+        score, acc, cov, votes = step(
             _staged_inputs(staged), extra["wstart"], extra["wlen"],
             extra["strand"], acc, cov, votes,
         )
-        np.asarray(score)  # host fetch = true sync (block_until_ready
-        #                    returns early through the axon tunnel)
+        pending.append(score)
+        while len(pending) > 2:
+            np.asarray(pending.popleft())  # host fetch = true sync
         if shape_key in seen_shapes:  # compiled executable reused
             steady_reads += batch.n_reads
-            steady_secs += time.time() - tb
         seen_shapes.add(shape_key)
         n_done += batch.n_reads
         n_batches += 1
@@ -356,6 +384,9 @@ def cmd_snp(args) -> int:
         metrics.count("reads_called", batch.n_reads)
         if args.checkpoint and n_batches % args.checkpoint_every == 0:
             save_ckpt()
+    while pending:
+        np.asarray(pending.popleft())
+    steady_secs = (time.time() - steady_t0) if steady_t0 is not None else 0.0
     save_ckpt()
     a_np, c_np, v_np = np.asarray(acc), np.asarray(cov), np.asarray(votes)
     all_calls: List[callmod.SnpCall] = []

@@ -34,27 +34,42 @@ LT = 128  # positions per tile (lanes)
 
 def _count_kernel(p_ref, out_ref, *, np_lanes, chunk, r_tile, unroll):
     c = pl.program_id(1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (r_tile, np_lanes), 1)
-
-    def body(s, acc):
-        col = p_ref[:, pl.ds(s, 1)]                  # (RT, 1)
-        return acc + (col < iota).astype(jnp.int32)
-
-    acc = jax.lax.fori_loop(
-        0, chunk, body, jnp.zeros((r_tile, np_lanes), jnp.int32), unroll=unroll
-    )
+    blk = p_ref[:]                                   # (RT, chunk)
+    # the path is monotone per read, so this chunk's values span a narrow
+    # window [m0, m1] (~chunk/dwell positions). Lanes i <= m0 count nothing;
+    # lanes i > m1 count every sample; only lane tiles intersecting (m0, m1]
+    # need the dense per-sample compare — typically 1 of np_lanes/128 tiles.
+    m0 = jnp.min(blk)
+    m1 = jnp.max(blk)
 
     @pl.when(c == 0)
     def _():
-        out_ref[:] = acc
+        out_ref[:] = jnp.zeros((r_tile, np_lanes), jnp.int32)
 
-    @pl.when(c > 0)
-    def _():
-        out_ref[:] = out_ref[:] + acc
+    for lt0 in range(0, np_lanes, 128):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (r_tile, 128), 1) + lt0
+
+        @pl.when(m1 < lt0)          # all samples < every lane in this tile
+        def _(lt0=lt0):
+            out_ref[:, lt0 : lt0 + 128] = out_ref[:, lt0 : lt0 + 128] + chunk
+
+        @pl.when((lt0 <= m1) & (m0 < lt0 + 127))     # transition tile
+        def _(lt0=lt0, iota=iota):
+            def body(s8, acc):   # manual unroll (Mosaic: unroll=1|full only)
+                for j in range(unroll):
+                    col = p_ref[:, pl.ds(s8 * unroll + j, 1)]   # (RT, 1)
+                    acc = acc + (col < iota).astype(jnp.int32)
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, chunk // unroll, body,
+                jnp.zeros((r_tile, 128), jnp.int32))
+            out_ref[:, lt0 : lt0 + 128] = out_ref[:, lt0 : lt0 + 128] + acc
+        # remaining case (lt0 + 127 <= m0): every lane <= all samples, add 0
 
 
 def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
-                       chunk: int = 128, interpret: bool = False):
+                       chunk: int = 512, interpret: bool = False):
     """C[r, i] = #{t : path_safe[r, t] < i} for i in [0, n_lanes).
 
     For a monotone nondecreasing path this is searchsorted-left as a dense
@@ -71,7 +86,7 @@ def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
         path_safe = jnp.pad(path_safe, ((0, Rp - R), (0, Tp - T)),
                             constant_values=n_lanes)
     kernel = functools.partial(
-        _count_kernel, np_lanes=n_lanes, chunk=chunk, r_tile=rt, unroll=True
+        _count_kernel, np_lanes=n_lanes, chunk=chunk, r_tile=rt, unroll=8
     )
     out = pl.pallas_call(
         kernel,
@@ -264,7 +279,12 @@ def base_loglik_local_pallas(
         base = shear_slab_base(S_c, T, span)
         spread_ok = (S_tiles - base[:, :, None]) <= (span - 1)
         W = jnp.where(spread_ok.reshape(R, L), W, 0)
-        xs = shear_gather_pallas(x, S_c, t_w, span=span)
+        # per-tile max live window, shared with the rescore fill kernel's
+        # dynamic trip count: shear rows >= wm are never read downstream
+        wm_tiles = jnp.max(
+            W.reshape(R // RT, RT, L // LT, LT), axis=(1, 3)
+        ).astype(jnp.int32)
+        xs = shear_gather_pallas(x, S_c, t_w, span=span, wmax=wm_tiles)
     else:
         samp = S_c[:, :, None] + jnp.arange(t_w, dtype=jnp.int32)[None, None, :]
         samp_safe = jnp.clip(samp, 0, T - 1)
@@ -367,13 +387,20 @@ def shear_slab_base(S, T: int, span: int, lt: int = LT):
 
 
 def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
-                        interpret: bool = False):
+                        interpret: bool = False, wmax=None):
     """xs[s, r, i] = x[r, S[r, i] + s] — (t_w, R, L) f32.
 
     Caller contract: 0 <= S and the per-(read, 128-position-tile) spread
     max(S_tile) - min(S_tile) must be < span (positions violating it must be
     masked out by the caller, see base_loglik_local_pallas). x rows must be
     at least span + t_w long (pad with zeros).
+
+    wmax (optional): (R//rt, L//lt) i32 — max live window length per tile.
+    Rows s >= wmax of a tile are left UNWRITTEN (garbage in the output);
+    callers must not read them. The rescore fill kernel bounds its t-loop by
+    the same per-tile max, so sharing one wmax array makes the skip exact;
+    typical windows are ~k·dwell ≈ 60 samples vs t_w = 192, so most tiles
+    skip ~2/3 of their shear matmuls.
     """
     R, T = x.shape
     L = S.shape[1]
@@ -392,10 +419,14 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
     base = shear_slab_base(S, T, span, lt)                        # (R, L/lt)
     # scalar prefetch wants a flat layout indexed by grid: (L/lt, R)
     base_sp = base.T.reshape(L // lt, R).astype(jnp.int32)
+    if wmax is None:
+        wm_sp = jnp.full((R // rt, L // lt), t_w, jnp.int32)
+    else:
+        wm_sp = jnp.minimum(wmax, t_w).astype(jnp.int32)
 
     grid = (R // rt, L // lt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((rt, T), lambda r, l, *_: (r, 0), memory_space=pltpu.VMEM),
@@ -406,9 +437,10 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
         ),
     )
 
-    def kernel_wrap(sp_ref, x_ref, s_ref, xs_ref):
+    def kernel_wrap(sp_ref, wm_ref, x_ref, s_ref, xs_ref):
         r = pl.program_id(0)
         l = pl.program_id(1)
+        wm = wm_ref[r, l]
 
         u_iota = jax.lax.broadcasted_iota(jnp.int32, (span, lt), 0)
         for rr in range(rt):
@@ -425,9 +457,13 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
                  for ss in range(m_rows)], axis=0
             )                                               # (m_rows, width)
             for s0 in range(0, t_w, m_rows):
-                rows = slab_m[:, s0 : s0 + span]
-                blk = jnp.dot(rows, m0, preferred_element_type=jnp.float32)
-                xs_ref[pl.ds(s0, m_rows), rr, :] = blk
+                # rows past the tile's max live window are never read by the
+                # rescore fill (its t-loop stops at the same wm) — skip them
+                @pl.when(s0 < wm)
+                def _(s0=s0):
+                    rows = slab_m[:, s0 : s0 + span]
+                    blk = jnp.dot(rows, m0, preferred_element_type=jnp.float32)
+                    xs_ref[pl.ds(s0, m_rows), rr, :] = blk
 
     return pl.pallas_call(
         kernel_wrap,
@@ -439,4 +475,4 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(base_sp, x, S)
+    )(base_sp, wm_sp, x, S)

@@ -90,6 +90,7 @@ def make_sharded_step(
     interpret: bool = False,
     use_bands: bool = False,
     use_tables: bool = False,
+    with_path: bool = True,
 ):
     """Build the jitted multi-device align+accumulate step.
 
@@ -98,11 +99,15 @@ def make_sharded_step(
     ``strand`` window metadata) and the accumulators:
 
       step(staged, wstart, wlen, strand, acc, cov, votes)
-        -> (score, path, acc, cov, votes)
+        -> (score, path, acc, cov, votes)        # with_path=True
+        -> (score, acc, cov, votes)              # with_path=False
 
     ``use_bands``/``use_tables`` declare whether the staged dict carries
     pregathered band levels (pallas backend) and genome subst tables — they
     shape the traced signature, so they must match the staged dict.
+    ``with_path=False`` drops the (R, T) Viterbi path from the outputs — the
+    SNP loop never reads it, and materializing it costs an R·T·4-byte HBM
+    write per batch (~21 MB at bench shapes).
     """
     axis = cfg.data_axis
     G = genome_len
@@ -122,11 +127,14 @@ def make_sharded_step(
         array_keys += ["woff", "tmu", "tem", "tiv", "tva"]
     staged_specs = {k2: _spec_for(k2, axis) for k2 in array_keys}
 
+    out_specs = ((data, data, acc_spec, acc_spec, acc_spec) if with_path
+                 else (data, acc_spec, acc_spec, acc_spec))
+
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(staged_specs, data, data, data, acc_spec, acc_spec, acc_spec),
-        out_specs=(data, data, acc_spec, acc_spec, acc_spec),
+        out_specs=out_specs,
         check_vma=False,
     )
     def step(staged, wstart, wlen, strand, acc, cov, votes):
@@ -163,7 +171,9 @@ def make_sharded_step(
             dacc = jax.lax.psum(dacc, axis)
             dcov = jax.lax.psum(dcov, axis)
             dvotes = jax.lax.psum(dvotes, axis)
-        return score, path, acc + dacc, cov + dcov, votes + dvotes
+        if with_path:
+            return score, path, acc + dacc, cov + dcov, votes + dvotes
+        return score, acc + dacc, cov + dcov, votes + dvotes
 
     return jax.jit(step, donate_argnums=(4, 5, 6))
 
