@@ -32,7 +32,7 @@ RT = 8    # reads per tile (sublanes)
 LT = 128  # positions per tile (lanes)
 
 
-def _count_kernel(p_ref, out_ref, *, np_lanes, chunk, r_tile, unroll):
+def _count_kernel(p_ref, out_ref, *, np_lanes, chunk, r_tile):
     c = pl.program_id(1)
     blk = p_ref[:]                                   # (RT, chunk)
     # the path is monotone per read, so this chunk's values span a narrow
@@ -55,21 +55,20 @@ def _count_kernel(p_ref, out_ref, *, np_lanes, chunk, r_tile, unroll):
 
         @pl.when((lt0 <= m1) & (m0 < lt0 + 127))     # transition tile
         def _(lt0=lt0, iota=iota):
-            def body(s8, acc):   # manual unroll (Mosaic: unroll=1|full only)
-                for j in range(unroll):
-                    col = p_ref[:, pl.ds(s8 * unroll + j, 1)]   # (RT, 1)
-                    acc = acc + (col < iota).astype(jnp.int32)
-                return acc
-
-            acc = jax.lax.fori_loop(
-                0, chunk // unroll, body,
-                jnp.zeros((r_tile, 128), jnp.int32))
+            # Python loop ⇒ every lane index is STATIC. A dynamic lane index
+            # here (e.g. fori_loop with pl.ds(s, 1)) is rejected by Mosaic
+            # ("cannot statically prove index is a multiple of 128") — the
+            # round-2 regression, VERDICT.md weakness #1.
+            acc = jnp.zeros((r_tile, 128), jnp.int32)
+            for s in range(chunk):
+                col = blk[:, s : s + 1]                         # (RT, 1)
+                acc = acc + (col < iota).astype(jnp.int32)
             out_ref[:, lt0 : lt0 + 128] = out_ref[:, lt0 : lt0 + 128] + acc
         # remaining case (lt0 + 127 <= m0): every lane <= all samples, add 0
 
 
 def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
-                       chunk: int = 512, interpret: bool = False):
+                       chunk: int = 128, interpret: bool = False):
     """C[r, i] = #{t : path_safe[r, t] < i} for i in [0, n_lanes).
 
     For a monotone nondecreasing path this is searchsorted-left as a dense
@@ -86,7 +85,7 @@ def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
         path_safe = jnp.pad(path_safe, ((0, Rp - R), (0, Tp - T)),
                             constant_values=n_lanes)
     kernel = functools.partial(
-        _count_kernel, np_lanes=n_lanes, chunk=chunk, r_tile=rt, unroll=8
+        _count_kernel, np_lanes=n_lanes, chunk=chunk, r_tile=rt
     )
     out = pl.pallas_call(
         kernel,
@@ -422,7 +421,11 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
     if wmax is None:
         wm_sp = jnp.full((R // rt, L // lt), t_w, jnp.int32)
     else:
-        wm_sp = jnp.minimum(wmax, t_w).astype(jnp.int32)
+        # clamp to >= 1 so the s0 = 0 matmul block always runs: the rescore
+        # fill kernel unconditionally reads xs row 0 for its DP init even
+        # when a tile's live window max is 0 (ADVICE r2: unwritten rows must
+        # never be readable)
+        wm_sp = jnp.clip(wmax, 1, t_w).astype(jnp.int32)
 
     grid = (R // rt, L // lt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
