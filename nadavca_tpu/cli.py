@@ -352,7 +352,12 @@ def cmd_snp(args) -> int:
     import collections
 
     seen_shapes = set()
-    steady_reads, steady_t0 = 0, None
+    # steady-state window: accumulate wall time only over contiguous spans of
+    # batches whose executable is already compiled. A batch with a first-seen
+    # shape closes the span, so its remote-compile wall is NOT charged to the
+    # steady gauge (ADVICE r2: the old first-reuse-to-end window under-reported
+    # steady throughput whenever a new bucket shape appeared late in the run).
+    steady_reads, steady_secs, span_t0 = 0, 0.0, None
     # lagged drain: dispatch batch N+1 before syncing batch N's result, so
     # host Python / tunnel RTT overlaps device compute (the old per-batch
     # np.asarray(score) sync serialized dispatch → compute → fetch and was
@@ -363,10 +368,12 @@ def cmd_snp(args) -> int:
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
         shape_key = (batch.shapes, gcfg.band_width)
-        if shape_key in seen_shapes and steady_t0 is None:
-            # first batch whose executable is already compiled: steady-state
-            # throughput window starts here (earlier wall is remote-compile)
-            steady_t0 = time.time()
+        if shape_key in seen_shapes:
+            if span_t0 is None:
+                span_t0 = time.time()
+        elif span_t0 is not None:
+            steady_secs += time.time() - span_t0
+            span_t0 = None
         step = get_step(gcfg, staged)
         score, acc, cov, votes = step(
             _staged_inputs(staged), extra["wstart"], extra["wlen"],
@@ -386,7 +393,8 @@ def cmd_snp(args) -> int:
             save_ckpt()
     while pending:
         np.asarray(pending.popleft())
-    steady_secs = (time.time() - steady_t0) if steady_t0 is not None else 0.0
+    if span_t0 is not None:  # final drain belongs to the open steady span
+        steady_secs += time.time() - span_t0
     save_ckpt()
     a_np, c_np, v_np = np.asarray(acc), np.asarray(cov), np.asarray(votes)
     all_calls: List[callmod.SnpCall] = []

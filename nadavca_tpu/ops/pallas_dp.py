@@ -44,6 +44,38 @@ from .banded_dp import NEG_INF, ViterbiResult
 _HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
 
 
+def _shift_lanes_left(v, amt_col, B: int, lane, fill):
+    """v'[r, j] = v[r, j + amt[r]] for j + amt < B, else ``fill``.
+
+    Per-read dynamic lane shift as a log-composition of static rolls
+    (select on each bit of the shift amount). A per-row dynamic gather
+    (``take_along_axis`` on the lane axis) lowers to ``tpu.dynamic_gather``,
+    which Mosaic only implements when the row fits ONE 128-lane vreg — the
+    B=256 adaptive-band configs failed to compile ("Multiple source vregs
+    along gather dimension", caught by scripts/tpu_smoke.py tier 1). Rolls
+    are exact at any band width; wrapped lanes are masked by the final
+    ``j + amt < B`` select. Cost: ~2·log2(B) vector ops, once per chunk.
+    """
+    nbits = max(1, (B - 1).bit_length())
+    for b in range(nbits):
+        amt = 1 << b
+        rolled = pltpu.roll(v, (B - amt) % B, axis=1)   # rolled[j] = v[j+amt]
+        v = jnp.where((amt_col & amt) != 0, rolled, v)
+    return jnp.where(lane + amt_col < B, v, fill)
+
+
+def _shift_lanes_right(v, amt_col, B: int, lane, fill):
+    """v'[r, j] = v[r, j - amt[r]] for j - amt >= 0, else ``fill``.
+
+    Mirror of :func:`_shift_lanes_left` (same Mosaic rationale)."""
+    nbits = max(1, (B - 1).bit_length())
+    for b in range(nbits):
+        amt = 1 << b
+        rolled = pltpu.roll(v, amt, axis=1)             # rolled[j] = v[j-amt]
+        v = jnp.where((amt_col & amt) != 0, rolled, v)
+    return jnp.where(lane - amt_col >= 0, v, fill)
+
+
 def _fill_kernel(
     # inputs
     x_ref,        # (R_TILE, C) f32 signal chunk
@@ -100,10 +132,7 @@ def _fill_kernel(
     @pl.when(c > 0)
     def _():
         # realign carried state to the new band start: V'[j] = V[j + delta]
-        idx = lane + dl_col
-        ok = idx < B
-        vg = jnp.take_along_axis(v_scr[:], jnp.minimum(idx, B - 1), axis=1)
-        v_scr[:] = jnp.where(ok, vg, NEG_INF)
+        v_scr[:] = _shift_lanes_left(v_scr[:], dl_col, B, lane, NEG_INF)
 
     t0 = c * C
     neg_col = jnp.full((R_TILE, 1), NEG_INF, jnp.float32)
@@ -462,9 +491,7 @@ def _advbits_kernel(
     @pl.when((w % (C // 32)) == 0)
     def _():
         d_col = dl_ref[0]
-        idx = lane - d_col
-        pg = jnp.take_along_axis(p_scr[:], jnp.maximum(idx, 0), axis=1)
-        p_scr[:] = jnp.where(idx >= 0, pg, 0)
+        p_scr[:] = _shift_lanes_right(p_scr[:], d_col, B, lane, 0)
 
 
 def backtrack_pallas(decs, lo, delta, j_end, chunk_size: int,

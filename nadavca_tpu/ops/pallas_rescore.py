@@ -459,13 +459,30 @@ def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
                 [pltpu.roll(slab, (width - ss) % width, axis=1)
                  for ss in range(m_rows)], axis=0
             )                                               # (m_rows, width)
+            # EXACT f32 gather on the MXU: the MXU's DEFAULT f32 matmul
+            # rounds operands to bf16 (measured ~1e-2 error on the gathered
+            # samples — caught by scripts/tpu_smoke.py tier 3). Split each
+            # slab value into three bf16-exact terms (8+8+8 of the 24
+            # mantissa bits); each term's product with the 0/1 one-hot is
+            # then exact, and hi+mid+lo reassembles the original f32
+            # bit-for-bit. Packing the three splits along the M axis keeps
+            # it ONE matmul per block — M=3·m_rows amortizes MXU pipeline
+            # fill, so this costs ~1.3x a single pass, not 3x (HIGHEST
+            # measured 2.0x).
+            hi = slab_m.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = slab_m - hi
+            mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = r1 - mid
+            slab3 = jnp.concatenate([hi, mid, lo], axis=0)  # (3*m_rows, width)
             for s0 in range(0, t_w, m_rows):
                 # rows past the tile's max live window are never read by the
                 # rescore fill (its t-loop stops at the same wm) — skip them
                 @pl.when(s0 < wm)
                 def _(s0=s0):
-                    rows = slab_m[:, s0 : s0 + span]
-                    blk = jnp.dot(rows, m0, preferred_element_type=jnp.float32)
+                    rows = slab3[:, s0 : s0 + span]
+                    blk3 = jnp.dot(rows, m0, preferred_element_type=jnp.float32)
+                    blk = (blk3[:m_rows] + blk3[m_rows : 2 * m_rows]
+                           + blk3[2 * m_rows :])
                     xs_ref[pl.ds(s0, m_rows), rr, :] = blk
 
     return pl.pallas_call(
