@@ -110,9 +110,7 @@ def bench_tpu(cfg, model, w, tables=None):
     mu_b = jnp.asarray(mu_b.transpose(1, 0, 2))
     sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
 
-    tmu = tables.mu if tables is not None else None
-    tem = tables.em if tables is not None else None
-    tiv = tables.iv if tables is not None else None
+    ttab = tables.tab4 if tables is not None else None
     tva = tables.valid if tables is not None else None
 
     def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids, woff, mub, sgb):
@@ -124,8 +122,7 @@ def bench_tpu(cfg, model, w, tables=None):
             base_ll = pallas_rescore.base_loglik_local_pallas(
                 x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
                 t_w=cfg.snp_local_window,
-                tables_mu=tmu, tables_em=tem, tables_iv=tiv,
-                tables_valid=tva, window_off=woff,
+                tables_tab=ttab, tables_valid=tva, window_off=woff,
             )
         else:
             T = x.shape[1]

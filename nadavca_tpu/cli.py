@@ -187,12 +187,12 @@ def cmd_align(args) -> int:
             return align_batch(batch, model, gcfg, backend=args.backend,
                                subst=subst, staged=staged)
         key = (gcfg, staged["backend"], staged["mu_b"] is not None,
-               staged["tmu"] is not None)
+               staged["ttab"] is not None)
         if key not in align_steps:
             align_steps[key] = sharded.make_sharded_align(
                 mesh, gcfg, backend=staged["backend"], k=staged["k"],
                 use_bands=staged["mu_b"] is not None,
-                use_tables=staged["tmu"] is not None,
+                use_tables=staged["ttab"] is not None,
             )
         score, path, base_ll = align_steps[key](_staged_inputs(staged))
         return {"score": score, "path": path, "base_loglik": base_ll}
@@ -336,7 +336,7 @@ def cmd_snp(args) -> int:
 
     def get_step(gcfg, staged):
         key = (gcfg, staged["backend"], staged["mu_b"] is not None,
-               staged["tmu"] is not None)
+               staged["ttab"] is not None)
         if key not in steps:
             # the SNP loop never reads the Viterbi path — drop it from the
             # step outputs (saves an R·T·4-byte HBM materialization per batch)
@@ -344,7 +344,7 @@ def cmd_snp(args) -> int:
                 mesh, gcfg, Gp, backend=staged["backend"], k=staged["k"],
                 genome_sharded=genome_sharded,
                 use_bands=staged["mu_b"] is not None,
-                use_tables=staged["tmu"] is not None,
+                use_tables=staged["ttab"] is not None,
                 with_path=False,
             )
         return steps[key]

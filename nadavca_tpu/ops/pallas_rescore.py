@@ -67,8 +67,8 @@ def _count_kernel(p_ref, out_ref, *, np_lanes, chunk, r_tile):
         # remaining case (lt0 + 127 <= m0): every lane <= all samples, add 0
 
 
-def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
-                       chunk: int = 128, interpret: bool = False):
+def path_counts_pallas(path_safe, n_lanes: int, rt: int = 64,
+                       chunk: int = 256, interpret: bool = False):
     """C[r, i] = #{t : path_safe[r, t] < i} for i in [0, n_lanes).
 
     For a monotone nondecreasing path this is searchsorted-left as a dense
@@ -107,24 +107,9 @@ def path_counts_pallas(path_safe, n_lanes: int, rt: int = 8,
     return out[:R]
 
 
-def _rescore_kernel(
-    wm_ref,    # (R//RT, L//LT) i32 scalar-prefetch: max live W per tile
-    xs_ref,    # (t_w, RT, LT) f32: sample s of each position's window
-    em_ref,    # (k*4, RT, LT) f32: -log sigma' - c, NEG_INF at dead (j, b)
-    mu_ref,    # (k*4, RT, LT) f32: substituted level means
-    iv_ref,    # (k*4, RT, LT) f32: 0.5 / sigma'^2
-    w_ref,     # (RT, LT) i32: live window length per position
-    kk_ref,    # (RT, LT) i32: number of live window slots (<= k)
-    out_ref,   # (4, RT, LT) f32: final DP scores per base
-    *,
-    k: int,
-    t_w: int,
-    log_p_stay: float,
-    log_p_move: float,
-):
-    em = em_ref[:].reshape(k, 4, RT, LT)
-    mu = mu_ref[:].reshape(k, 4, RT, LT)
-    iv = iv_ref[:].reshape(k, 4, RT, LT)
+def _rescore_dp_body(xs_ref, em, mu, iv, w_ref, kk_ref, cod_ref, out_ref, wm,
+                     *, k, t_w, log_p_stay, log_p_move):
+    """Shared local-DP body: em/mu/iv are (k, 4, RT, LT) VALUES."""
     w = w_ref[:]
 
     x0 = xs_ref[0]                                   # (RT, LT)
@@ -149,20 +134,110 @@ def _rescore_kernel(
     # every lane (the active mask), so stopping at the tile's own max is
     # exact. Typical windows are ~k·dwell ≈ 60 samples vs the static
     # t_w = 192 bound — most tiles run 2–3× fewer steps.
-    wm = jnp.minimum(wm_ref[pl.program_id(0), pl.program_id(1)], t_w)
-    v = jax.lax.fori_loop(1, wm, body, v0)
+    v = jax.lax.fori_loop(1, jnp.minimum(wm, t_w), body, v0)
 
     kk1 = kk_ref[:] - 1                               # (RT, LT)
     out = jnp.zeros((4, RT, LT), jnp.float32)
     for j in range(k):
         out = out + jnp.where((kk1 == j)[None], v[j], 0.0)
-    out_ref[:] = out
+    # subtract the reference base's score in-kernel (an XLA take_along_axis
+    # over (R, L) lowers to a serialized per-element gather)
+    cod = cod_ref[:]
+    ref = jnp.zeros((RT, LT), jnp.float32)
+    for b in range(4):
+        ref = ref + jnp.where(cod == b, out[b], 0.0)
+    out_ref[:] = out - ref[None]
 
 
-def rescore_fill_pallas(xs, em, mu, iv, w, kk, cfg: AlignConfig, t_w: int,
-                        interpret: bool = False):
+def _rescore_kernel(
+    wm_ref,    # (R//RT, L//LT) i32 scalar-prefetch: max live W per tile
+    xs_ref,    # (t_w, RT, LT) f32: sample s of each position's window
+    em_ref,    # (k*4, RT, LT) f32: -log sigma' - c, NEG_INF at dead (j, b)
+    mu_ref,    # (k*4, RT, LT) f32: substituted level means
+    iv_ref,    # (k*4, RT, LT) f32: 0.5 / sigma'^2
+    w_ref,     # (RT, LT) i32: live window length per position
+    kk_ref,    # (RT, LT) i32: number of live window slots (<= k)
+    cod_ref,   # (RT, LT) i32: reference base per position (4 = pad)
+    out_ref,   # (4, RT, LT) f32: DP scores per base MINUS the ref base's
+    *,
+    k: int,
+    t_w: int,
+    log_p_stay: float,
+    log_p_move: float,
+):
+    wm = wm_ref[pl.program_id(0), pl.program_id(1)]
+    _rescore_dp_body(
+        xs_ref, em_ref[:].reshape(k, 4, RT, LT),
+        mu_ref[:].reshape(k, 4, RT, LT), iv_ref[:].reshape(k, 4, RT, LT),
+        w_ref, kk_ref, cod_ref, out_ref, wm,
+        k=k, t_w=t_w, log_p_stay=log_p_stay, log_p_move=log_p_move)
+
+
+def _rescore_tab_kernel(
+    wm_ref,    # (R//RT, L//LT) i32 scalar-prefetch
+    woff_ref,  # (R,) i32 scalar-prefetch: table column offset per read
+    xs_ref,    # (t_w, RT, LT) f32
+    tab_ref,   # (3, k*4, rowsP//128, 1, 128) f32 in ANY memory (HBM): the
+               # stacked [em, mu, iv] genome tables (SubstTables.tab4)
+    w_ref, kk_ref, cod_ref,      # (RT, LT) i32
+    out_ref,   # (4, RT, LT) f32
+    tscr,      # (3, k*4, RT, 2, 128) f32 VMEM scratch: two coarse blocks/read
+    sem,       # (RT,) DMA semaphores
+    *,
+    k: int,
+    t_w: int,
+    log_p_stay: float,
+    log_p_move: float,
+):
+    """Tables variant: each tile fetches its own (3, k*4, 128) table slice
+    straight from the genome-level HBM table by DMA. DMA lane offsets must be
+    128-aligned (Mosaic), and per-read offsets are arbitrary — so copy the
+    TWO covering 128-blocks (the block axis is a leading dim of tab_ref,
+    where dynamic indices are unconstrained) and realign in-register with a
+    per-read dynamic roll + lane select. Replaces the XLA per-read
+    dynamic_slice + transpose of the three tables (measured ~6 ms/batch at
+    bench shapes — the gather serializes and the relayout doubles traffic).
+    """
+    r = pl.program_id(0)
+    l = pl.program_id(1)
+    for rr in range(RT):
+        off = woff_ref[r * RT + rr] + l * LT
+        pltpu.make_async_copy(
+            tab_ref.at[:, :, pl.ds(off // 128, 2), 0, :],
+            tscr.at[:, :, rr, :, :], sem.at[rr],
+        ).start()
+    k4 = k * 4
+    lane = jax.lax.broadcasted_iota(jnp.int32, (3 * k4, 128), 1)
+    parts = []
+    for rr in range(RT):
+        off = woff_ref[r * RT + rr] + l * LT
+        pltpu.make_async_copy(
+            tab_ref.at[:, :, pl.ds(off // 128, 2), 0, :],
+            tscr.at[:, :, rr, :, :], sem.at[rr],
+        ).wait()
+        ro = off % 128
+        b0 = tscr[:, :, rr, 0, :].reshape(3 * k4, 128)
+        b1 = tscr[:, :, rr, 1, :].reshape(3 * k4, 128)
+        # value for lane p is b0[p+ro] while p+ro < 128, else b1[p+ro-128];
+        # both are the same mod-128 rotate of their block
+        rot0 = pltpu.roll(b0, 128 - ro, axis=1)
+        rot1 = pltpu.roll(b1, 128 - ro, axis=1)
+        parts.append(jnp.where(lane < 128 - ro, rot0, rot1))  # (3*k4, 128)
+    tabs = jnp.stack(parts, axis=1).reshape(3, k4, RT, LT)
+    em = tabs[0].reshape(k, 4, RT, LT)
+    mu = tabs[1].reshape(k, 4, RT, LT)
+    iv = tabs[2].reshape(k, 4, RT, LT)
+    wm = wm_ref[r, l]
+    _rescore_dp_body(xs_ref, em, mu, iv, w_ref, kk_ref, cod_ref, out_ref, wm,
+                     k=k, t_w=t_w, log_p_stay=log_p_stay,
+                     log_p_move=log_p_move)
+
+
+def rescore_fill_pallas(xs, em, mu, iv, w, kk, codes, cfg: AlignConfig,
+                        t_w: int, interpret: bool = False):
     """Run the rescore kernel. Shapes: xs (t_w, R, L); em/mu/iv (k*4, R, L);
-    w/kk (R, L). Returns scores (4, R, L)."""
+    w/kk/codes (R, L). Returns scores (4, R, L), already relative to the
+    reference base (codes) per position."""
     k = cfg.k
     _, R, L = xs.shape
     assert R % RT == 0 and L % LT == 0, (R, L)
@@ -184,6 +259,7 @@ def rescore_fill_pallas(xs, em, mu, iv, w, kk, cfg: AlignConfig, t_w: int,
             pl.BlockSpec((k * 4, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, RT, LT), lambda r, l, *_: (0, r, l),
                                memory_space=pltpu.VMEM),
@@ -198,7 +274,56 @@ def rescore_fill_pallas(xs, em, mu, iv, w, kk, cfg: AlignConfig, t_w: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wmax, xs, em, mu, iv, w, kk)
+    )(wmax, xs, em, mu, iv, w, kk, codes.astype(jnp.int32))
+
+
+def rescore_fill_tab_pallas(xs, w, kk, codes, woff, tab4, cfg: AlignConfig,
+                            t_w: int, interpret: bool = False):
+    """Tables variant of rescore_fill_pallas: the kernel DMAs its own table
+    slices from the genome-level stacked table (SubstTables.tab4). Shapes:
+    xs (t_w, R, L); w/kk/codes (R, L); woff (R,) i32. Returns (4, R, L),
+    ref-relative."""
+    k = cfg.k
+    _, R, L = xs.shape
+    assert R % RT == 0 and L % LT == 0, (R, L)
+    kernel = functools.partial(
+        _rescore_tab_kernel, k=k, t_w=t_w,
+        log_p_stay=cfg.log_p_stay, log_p_move=cfg.log_p_move,
+    )
+    grid = (R // RT, L // LT)
+    wmax = jnp.max(
+        w.reshape(R // RT, RT, L // LT, LT), axis=(1, 3)
+    ).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_w, RT, LT), lambda r, l, *_: (0, r, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, RT, LT), lambda r, l, *_: (0, r, l),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, k * 4, RT, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((RT,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, R, L), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * R * L * t_w * k * 4,
+            bytes_accessed=int(xs.size * 4 + R * L * (24 * 12 + 24)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wmax, woff.astype(jnp.int32), xs, tab4, w.astype(jnp.int32),
+      kk.astype(jnp.int32), codes.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "t_w", "cfg", "interpret"))
@@ -214,11 +339,11 @@ def base_loglik_local_pallas(
     cfg: AlignConfig = AlignConfig(),
     t_w: int = 192,
     interpret: bool = False,
-    tables_mu: jax.Array = None,    # (2*Gp, k*4) genome subst tables (optional)
-    tables_em: jax.Array = None,    # precomputed -log sg' - c
-    tables_iv: jax.Array = None,    # precomputed 0.5/sg'^2
-    tables_valid: jax.Array = None, # (2*Gp,) bool
-    window_off: jax.Array = None,   # (R,) i32 row offset per read
+    tables_tab: jax.Array = None,   # (3, k*4, rowsP//128, 1, 128) stacked
+                                    # [em, mu, iv] genome tables (optional,
+                                    # SubstTables.tab4)
+    tables_valid: jax.Array = None, # (rowsP,) bool
+    window_off: jax.Array = None,   # (R,) i32 column offset per read
 ) -> jax.Array:
     """(R, L, 4) base log-likelihoods — Pallas version of
     banded_dp.base_loglik_local_batch (same contract, same results)."""
@@ -278,12 +403,7 @@ def base_loglik_local_pallas(
         base = shear_slab_base(S_c, T, span)
         spread_ok = (S_tiles - base[:, :, None]) <= (span - 1)
         W = jnp.where(spread_ok.reshape(R, L), W, 0)
-        # per-tile max live window, shared with the rescore fill kernel's
-        # dynamic trip count: shear rows >= wm are never read downstream
-        wm_tiles = jnp.max(
-            W.reshape(R // RT, RT, L // LT, LT), axis=(1, 3)
-        ).astype(jnp.int32)
-        xs = shear_gather_pallas(x, S_c, t_w, span=span, wmax=wm_tiles)
+        xs = shear_gather_pallas(x, S_c, t_w, span=span)
     else:
         samp = S_c[:, :, None] + jnp.arange(t_w, dtype=jnp.int32)[None, None, :]
         samp_safe = jnp.clip(samp, 0, T - 1)
@@ -293,21 +413,15 @@ def base_loglik_local_pallas(
         xs = jnp.transpose(xs, (2, 0, 1))             # (t_w, R, L)
 
     ref_base = window_codes
-    if tables_mu is not None:
-        # genome-level substituted tables: one contiguous slice per read
-        # replaces ~200 ms of per-batch table gathers; read-local edge
-        # positions (clipped windows) are masked below (kk == k required).
-        # Tables are stored (k*4, rows) so the slice lands directly in the
-        # kernel's layout — only leading dims move in the transpose below.
+    if tables_tab is not None:
+        # genome-level substituted tables: the rescore kernel DMAs each
+        # tile's table slice itself (see _rescore_tab_kernel) — no per-read
+        # XLA slices or transposes. Host-side only the (cheap) validity row
+        # is sliced; read-local edge positions (clipped windows) are masked
+        # below (kk == k required).
         def one(o):
-            return (jax.lax.dynamic_slice(tables_mu, (0, o), (k * 4, L)),
-                    jax.lax.dynamic_slice(tables_em, (0, o), (k * 4, L)),
-                    jax.lax.dynamic_slice(tables_iv, (0, o), (k * 4, L)),
-                    jax.lax.dynamic_slice(tables_valid, (o,), (L,)))
-        mu_kl, em_kl, iv_kl, valid_g = jax.vmap(one)(window_off.astype(jnp.int32))
-        mu_kl = jnp.transpose(mu_kl, (1, 0, 2))    # (k*4, R, L)
-        em_kl = jnp.transpose(em_kl, (1, 0, 2))
-        iv_kl = jnp.transpose(iv_kl, (1, 0, 2))
+            return jax.lax.dynamic_slice(tables_valid, (o,), (L,))
+        valid_g = jax.vmap(one)(window_off.astype(jnp.int32))
         edge_ok = (kk == k) & valid_g
         valid_i = valid_i & edge_ok
         j_ok = jnp.ones((R, L, k), bool)
@@ -352,29 +466,41 @@ def base_loglik_local_pallas(
         return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, pr), (0, plp)],
                        constant_values=fill)
 
-    scores = rescore_fill_pallas(
-        pad(xs), pad(em_kl.astype(jnp.float32), NEG_INF),
-        pad(mu_kl.astype(jnp.float32)),
-        pad(iv_kl.astype(jnp.float32), 1.0),
-        pad(W.astype(jnp.int32)), pad(kk.astype(jnp.int32), 1), cfg, t_w,
-        interpret=interpret,
-    )[:, :R, :L]                                       # (4, R, L)
-    scores = jnp.transpose(scores, (1, 2, 0))          # (R, L, 4)
-    ref_score = jnp.take_along_axis(
-        scores, jnp.clip(ref_base, 0, 3)[:, :, None].astype(jnp.int32), axis=2
-    )
-    out = scores - ref_score
+    if tables_tab is not None:
+        scores = rescore_fill_tab_pallas(
+            pad(xs), pad(W.astype(jnp.int32)), pad(kk.astype(jnp.int32), 1),
+            pad(jnp.clip(ref_base, 0, 3), 0.0),
+            jnp.pad(window_off.astype(jnp.int32), (0, pr)), tables_tab,
+            cfg, t_w, interpret=interpret,
+        )[:, :R, :L]                                   # (4, R, L), ref-relative
+    else:
+        scores = rescore_fill_pallas(
+            pad(xs), pad(em_kl.astype(jnp.float32), NEG_INF),
+            pad(mu_kl.astype(jnp.float32)),
+            pad(iv_kl.astype(jnp.float32), 1.0),
+            pad(W.astype(jnp.int32)), pad(kk.astype(jnp.int32), 1),
+            pad(jnp.clip(ref_base, 0, 3), 0.0), cfg, t_w,
+            interpret=interpret,
+        )[:, :R, :L]                                   # (4, R, L), ref-relative
+    out = jnp.transpose(scores, (1, 2, 0))             # (R, L, 4)
     all_ok = valid_i & (W > 0) & jnp.all(jnp.where(j_ok, ids_ok, True), axis=2)
     out = jnp.where(all_ok[:, :, None], out, 0.0).astype(jnp.float32)
     return out[:, :L_in, :]
 
 
 # --------------------------------------------------------------------------
-# Shear gather: xs[s, r, i] = x[r, S[r, i] + s] built with one-hot matmuls on
-# the MXU. The XLA take_along_axis form of this gather measured 1157 ms at
-# bench shapes (TPU gathers serialize per element); as a matmul against a
-# 0/1 shear matrix it is exact (rows of 0s plus a single 1 ⇒ f32 products
-# are exact) and runs at MXU speed (~1 TFLOP total ⇒ tens of ms).
+# Shear gather: xs[s, r, i] = x[r, S[r, i] + s], two-level. The XLA
+# take_along_axis form measured 1157 ms at bench shapes (TPU gathers
+# serialize per element). A one-level one-hot matmul over the whole slab
+# (span=2048 contraction per gathered element) is MXU-slot-bound: measured
+# ~15 ms ≈ the predicted 3 blocks · M=96 · K=2048 · N=128 / 16384 MAC-slots
+# per cycle. Two-level version: write the offset d = S − base as
+# d = 128·q + r; the 128-granule gather C[q[lane]+a] is a SMALL matmul
+# (contraction over span/128 = 16 coarse rows, with the f32-exactness
+# 3-split folded into the contraction axis → K = 48), and the residual
+# r ∈ [0, 128) is a per-lane SUBLANE log-shift (7 select+concat steps).
+# ~12x less MXU work; exact f32 (the split terms are bf16-exact, the 0/1
+# one-hot is bf16-exact, so the MXU's bf16 operand rounding is lossless).
 # --------------------------------------------------------------------------
 
 def shear_slab_base(S, T: int, span: int, lt: int = LT):
@@ -387,112 +513,112 @@ def shear_slab_base(S, T: int, span: int, lt: int = LT):
 
 def shear_gather_pallas(x, S, t_w: int, span: int = 4096, rt: int = 8,
                         interpret: bool = False, wmax=None):
-    """xs[s, r, i] = x[r, S[r, i] + s] — (t_w, R, L) f32.
+    """xs[s, r, i] = x[r, S[r, i] + s] — (t_w, R, L) f32, exact.
 
     Caller contract: 0 <= S and the per-(read, 128-position-tile) spread
     max(S_tile) - min(S_tile) must be < span (positions violating it must be
-    masked out by the caller, see base_loglik_local_pallas). x rows must be
-    at least span + t_w long (pad with zeros).
+    masked out by the caller, see base_loglik_local_pallas; their xs values
+    come out 0.0 — finite, never garbage). x rows must be at least
+    span + 256 samples long (pad with zeros).
 
-    wmax (optional): (R//rt, L//lt) i32 — max live window length per tile.
-    Rows s >= wmax of a tile are left UNWRITTEN (garbage in the output);
-    callers must not read them. The rescore fill kernel bounds its t-loop by
-    the same per-tile max, so sharing one wmax array makes the skip exact;
-    typical windows are ~k·dwell ≈ 60 samples vs t_w = 192, so most tiles
-    skip ~2/3 of their shear matmuls.
+    wmax is accepted for signature compatibility and ignored: the two-level
+    gather is cheap enough that every row is always written (the round-2
+    unwritten-rows contract and its ADVICE-flagged fragility are gone).
+
+    Decomposition per (read, position-tile): d = S − base = 128·q + r with
+    base 128-aligned. Coarse: G[128a + w0, lane] = x[base + 128(q+a) + w0]
+    via dot_general(C_splits (48, 128), oneq3 (48, lt)) per a-block, where
+    C[i] = x[base + 128i : ...+128] are coarse slab rows, the f32→3×bf16
+    exactness split rides the contraction axis, and oneq is the 0/1 one-hot
+    of q. Fine: xs[s] = G[r + s] — a per-lane sublane log-shift (7
+    concat+select steps on the bits of r).
     """
     R, T = x.shape
     L = S.shape[1]
     lt = LT
-    # m_rows rolled slab copies per matmul: a bigger M amortizes MXU pipeline
-    # fill across the shear matmuls (measured 13.9/10.0/9.2 ms at 8/16/32)
-    m_rows = next(m for m in (32, 16, 8, 4, 2, 1) if t_w % m == 0)
-    pad_w = 256  # slab width = span + pad_w (multiple of 128)
     assert R % rt == 0 and L % lt == 0
-    assert T >= span + pad_w, (T, span)
-    assert t_w <= pad_w - m_rows
+    assert T >= span + 256, (T, span)
     assert span % 128 == 0 and T % 128 == 0
+    nq = span // 128                  # coarse granules addressable by oneq
+    n_a = (t_w + 127) // 128 + 1      # G rows = 128·n_a must cover r + t_w
+    nc = nq + n_a - 1                 # coarse slab rows fetched per tile
+    assert 128 * n_a >= 127 + t_w
+    # base clip (shear_slab_base) guarantees base + 128·(nc-1) + 127 < T:
+    assert 128 * (nc - 1) + 127 <= span + 255, (span, t_w)
 
-    # per-(row-tile, position-tile) slab base: clipped so the slab fits and
-    # floored to a 128 multiple (Mosaic requires aligned dynamic lane offsets)
     base = shear_slab_base(S, T, span, lt)                        # (R, L/lt)
-    # scalar prefetch wants a flat layout indexed by grid: (L/lt, R)
     base_sp = base.T.reshape(L // lt, R).astype(jnp.int32)
-    if wmax is None:
-        wm_sp = jnp.full((R // rt, L // lt), t_w, jnp.int32)
-    else:
-        # clamp to >= 1 so the s0 = 0 matmul block always runs: the rescore
-        # fill kernel unconditionally reads xs row 0 for its DP init even
-        # when a tile's live window max is 0 (ADVICE r2: unwritten rows must
-        # never be readable)
-        wm_sp = jnp.clip(wmax, 1, t_w).astype(jnp.int32)
+
+    # (R, T/128, 1, 128): the coarse-row axis is a LEADING dim, so the
+    # kernel can dynamic-index it at arbitrary (unaligned) q0 — a (R, T/128,
+    # 128) layout would put it on sublanes, where Mosaic requires 8-aligned
+    # dynamic offsets. The reshape is layout-preserving (free).
+    x3 = x.reshape(R, T // 128, 1, 128)
 
     grid = (R // rt, L // lt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rt, T), lambda r, l, *_: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, lt), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, T // 128, 1, 128), lambda r, l, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, lt), lambda r, l, *_: (r, l),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (t_w, rt, lt), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM
         ),
     )
 
-    def kernel_wrap(sp_ref, wm_ref, x_ref, s_ref, xs_ref):
+    def kernel_wrap(sp_ref, x3_ref, s_ref, xs_ref):
         r = pl.program_id(0)
         l = pl.program_id(1)
-        wm = wm_ref[r, l]
-
-        u_iota = jax.lax.broadcasted_iota(jnp.int32, (span, lt), 0)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (nq, lt), 0)
         for rr in range(rt):
-            base_v = pl.multiple_of(sp_ref[l, r * rt + rr], 128)
-            slab = x_ref[rr, pl.ds(base_v, span + pad_w)].reshape(1, span + pad_w)
-            d = (s_ref[rr, :] - base_v).reshape(1, lt)
-            m0 = (u_iota == d).astype(jnp.float32)
-            # m_rows rolled copies (all lane-offset 0, so the concat is
-            # legal); wrapped tail lanes are never read because d + t_w stays
-            # inside the slab (see the caller's spread mask)
-            width = span + pad_w
-            slab_m = jnp.concatenate(
-                [pltpu.roll(slab, (width - ss) % width, axis=1)
-                 for ss in range(m_rows)], axis=0
-            )                                               # (m_rows, width)
-            # EXACT f32 gather on the MXU: the MXU's DEFAULT f32 matmul
-            # rounds operands to bf16 (measured ~1e-2 error on the gathered
-            # samples — caught by scripts/tpu_smoke.py tier 3). Split each
-            # slab value into three bf16-exact terms (8+8+8 of the 24
-            # mantissa bits); each term's product with the 0/1 one-hot is
-            # then exact, and hi+mid+lo reassembles the original f32
-            # bit-for-bit. Packing the three splits along the M axis keeps
-            # it ONE matmul per block — M=3·m_rows amortizes MXU pipeline
-            # fill, so this costs ~1.3x a single pass, not 3x (HIGHEST
-            # measured 2.0x).
-            hi = slab_m.astype(jnp.bfloat16).astype(jnp.float32)
-            r1 = slab_m - hi
+            base_v = sp_ref[l, r * rt + rr]
+            q0 = base_v // 128
+            C = jnp.concatenate(
+                [x3_ref[rr, pl.ds(q0 + i, 1), 0, :] for i in range(nc)],
+                axis=0)                                      # (nc, 128)
+            # f32 = hi + mid + lo, each bf16-exact (8+8+8 mantissa bits), so
+            # the MXU's bf16 operand rounding loses nothing and the gather
+            # is bit-exact (single-pass f32 matmul measured ~1e-2 error —
+            # caught by scripts/tpu_smoke.py tier 3)
+            hi = C.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = C - hi
             mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
             lo = r1 - mid
-            slab3 = jnp.concatenate([hi, mid, lo], axis=0)  # (3*m_rows, width)
-            for s0 in range(0, t_w, m_rows):
-                # rows past the tile's max live window are never read by the
-                # rescore fill (its t-loop stops at the same wm) — skip them
-                @pl.when(s0 < wm)
-                def _(s0=s0):
-                    rows = slab3[:, s0 : s0 + span]
-                    blk3 = jnp.dot(rows, m0, preferred_element_type=jnp.float32)
-                    blk = (blk3[:m_rows] + blk3[m_rows : 2 * m_rows]
-                           + blk3[2 * m_rows :])
-                    xs_ref[pl.ds(s0, m_rows), rr, :] = blk
+            d = (s_ref[rr, :] - base_v).reshape(1, lt)       # [0, span)
+            q = d // 128
+            rfine = d % 128
+            oneq = (qi == q).astype(jnp.float32)             # (nq, lt)
+            oneq3 = jnp.concatenate([oneq, oneq, oneq], axis=0)
+            gs = []
+            for a in range(n_a):
+                ca = jnp.concatenate(
+                    [hi[a : a + nq], mid[a : a + nq], lo[a : a + nq]],
+                    axis=0)                                  # (3*nq, 128)
+                gs.append(jax.lax.dot_general(
+                    ca, oneq3, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # (128, lt)
+            G = jnp.concatenate(gs, axis=0)                  # (128*n_a, lt)
+            # fine: xs[s] = G[rfine + s] — per-lane shift toward row 0 by
+            # rfine, as a log-composition of static sublane rotations.
+            # Wrapped rows land at w >= 128*n_a - 127 > t_w, never read.
+            for b in range(7):
+                amt = 1 << b
+                rolled = jnp.concatenate([G[amt:], G[:amt]], axis=0)
+                G = jnp.where((rfine & amt) != 0, rolled, G)
+            xs_ref[:, rr, :] = G[:t_w]
 
     return pl.pallas_call(
         kernel_wrap,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_w, R, L), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * R * L * t_w * span,
+            flops=2 * R * L * 3 * nq * 128 * n_a,
             bytes_accessed=int(x.size * 4 + R * L * (t_w + 1) * 4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(base_sp, wm_sp, x, S)
+    )(base_sp, x3, S)

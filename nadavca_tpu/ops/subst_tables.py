@@ -69,18 +69,20 @@ def _strand_tables(codes: np.ndarray, model: KmerModel):
 class SubstTables:
     """Device-resident substituted-level tables for one genome.
 
-    Stored (k*4, rows): per-read window slices then run along the MINOR axis,
-    so the batch-time relayout to the rescore kernel's (k*4, R, L) blocks is
-    a leading-dims swap (address arithmetic) instead of a minor-dim transpose
-    (measured ~5 ms/batch in the (rows, k*4) orientation).
+    Stored as ONE stacked array tab4 = [em; mu; iv] of shape
+    (3, k*4, rowsP//128, 1, 128) — i.e. (3, k*4, rowsP) with the column axis
+    pre-split into 128-blocks. The rescore kernel DMAs each tile's slice
+    directly from this HBM array (ops/pallas_rescore._rescore_tab_kernel):
+    the 128-block axis is a LEADING dim, which Mosaic lets the kernel index
+    at arbitrary per-read offsets (lane-axis DMA offsets would have to be
+    128-aligned). This replaced per-batch XLA dynamic_slice + transpose of
+    three (k*4, rows) tables, measured ~6 ms/batch at bench shapes.
     """
 
-    mu: "object"           # (k*4, 2*Gp+pad) f32 device array ([fwd; rc; tail])
-    em: "object"           # (k*4, 2*Gp+pad) f32: -log sigma' - 0.5 log 2pi
-    iv: "object"           # (k*4, 2*Gp+pad) f32: 0.5 / sigma'^2
-    valid: "object"        # (2*Gp+pad,) bool
-    contig_offsets: Dict[str, int]   # contig -> row offset of its fwd block
-    g_total: int           # Gp (rows per strand block)
+    tab4: "object"         # (3, k*4, rowsP//128, 1, 128) f32 device array
+    valid: "object"        # (rowsP,) bool
+    contig_offsets: Dict[str, int]   # contig -> column offset of its fwd block
+    g_total: int           # Gp (columns per strand block)
     k: int
 
     def window_offsets(self, contig_names, wstart: np.ndarray,
@@ -133,10 +135,23 @@ def build_subst_tables(genome: Genome, model: KmerModel,
     # emission constants precomputed here so batches do no logs/divides
     em = (-np.log(sg) - _HALF_LOG_2PI).astype(np.float32)
     iv = (0.5 / (sg * sg)).astype(np.float32)
+    # column count padded to a 128 multiple + one spare 128-block: the
+    # kernel's two-block DMA at the last tile touches up to off + 255
+    rows = 2 * Gp + pad
+    rows_p = -(-rows // 128) * 128 + 128
+    k4 = k * 4
+
+    def to_blocks(a, fill):
+        at = np.full((k4, rows_p), fill, np.float32)
+        at[:, :rows] = np.ascontiguousarray(a.T)
+        return at.reshape(k4, rows_p // 128, 1, 128)
+
+    tab4 = np.stack([to_blocks(em, NEG_INF), to_blocks(mu, 0.0),
+                     to_blocks(iv, 1.0)], axis=0)
+    valid_p = np.zeros(rows_p, bool)
+    valid_p[:rows] = valid
     return SubstTables(
-        mu=jnp.asarray(np.ascontiguousarray(mu.T)),
-        em=jnp.asarray(np.ascontiguousarray(em.T)),
-        iv=jnp.asarray(np.ascontiguousarray(iv.T)),
-        valid=jnp.asarray(valid),
+        tab4=jnp.asarray(tab4),
+        valid=jnp.asarray(valid_p),
         contig_offsets=offsets, g_total=Gp, k=k,
     )

@@ -85,7 +85,7 @@ def global_staged_from_local(local_arrays: dict, mesh, cfg):
         spec = _spec_for(k, cfg.data_axis)
         sharding = NamedSharding(mesh, spec)
         v = np.asarray(v)
-        if k in ("lm", "ls", "tmu", "tem", "tiv", "tva"):
+        if k in ("lm", "ls", "ttab", "tva"):
             global_shape = v.shape
         elif k in ("mu_b", "sg_b"):
             global_shape = (v.shape[0], v.shape[1] * jax.process_count()) + v.shape[2:]

@@ -36,7 +36,7 @@ from .. import call as callmod
 from .. import pipeline as pipelinemod
 
 # stage_batch keys that are NOT sharded over the read axis
-_REPLICATED_KEYS = ("lm", "ls", "tmu", "tem", "tiv", "tva")
+_REPLICATED_KEYS = ("lm", "ls", "ttab", "tva")
 # (n_chunks, R, B) chunk-major band levels: read axis is dim 1
 _CHUNK_MAJOR_KEYS = ("mu_b", "sg_b")
 _META_KEYS = ("backend", "k")
@@ -124,7 +124,7 @@ def make_sharded_step(
     if use_bands:
         array_keys += ["mu_b", "sg_b"]
     if use_tables:
-        array_keys += ["woff", "tmu", "tem", "tiv", "tva"]
+        array_keys += ["woff", "ttab", "tva"]
     staged_specs = {k2: _spec_for(k2, axis) for k2 in array_keys}
 
     out_specs = ((data, data, acc_spec, acc_spec, acc_spec) if with_path
@@ -140,12 +140,12 @@ def make_sharded_step(
     def step(staged, wstart, wlen, strand, acc, cov, votes):
         a = {k2: staged.get(k2) for k2 in
              ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta", "mu_b",
-              "sg_b", "codes", "ids", "lm", "ls", "woff", "tmu", "tem",
+              "sg_b", "codes", "ids", "lm", "ls", "woff", "ttab",
               "tiv", "tva")}
         score, path, base_ll = pipelinemod.device_compute(
             a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
             a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
-            a["ls"], a["woff"], a["tmu"], a["tem"], a["tiv"], a["tva"],
+            a["ls"], a["woff"], a["ttab"], a["tva"],
             cfg=cfg, backend=backend, k=k, interpret=interpret,
         )
         flat, ll, n_valid, onehot = callmod.scatter_values(
@@ -199,7 +199,7 @@ def make_sharded_align(
     if use_bands:
         array_keys += ["mu_b", "sg_b"]
     if use_tables:
-        array_keys += ["woff", "tmu", "tem", "tiv", "tva"]
+        array_keys += ["woff", "ttab", "tva"]
     staged_specs = {k2: _spec_for(k2, axis) for k2 in array_keys}
 
     @functools.partial(
@@ -212,12 +212,12 @@ def make_sharded_align(
     def step(staged):
         a = {k2: staged.get(k2) for k2 in
              ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta", "mu_b",
-              "sg_b", "codes", "ids", "lm", "ls", "woff", "tmu", "tem",
+              "sg_b", "codes", "ids", "lm", "ls", "woff", "ttab",
               "tiv", "tva")}
         return pipelinemod.device_compute(
             a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
             a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
-            a["ls"], a["woff"], a["tmu"], a["tem"], a["tiv"], a["tva"],
+            a["ls"], a["woff"], a["ttab"], a["tva"],
             cfg=cfg, backend=backend, k=k, interpret=interpret,
         )
 

@@ -273,7 +273,7 @@ def path_to_segments(path: np.ndarray, t_len: int, n_ref: int):
 
 def device_compute(
     x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
-    lm, ls, woff, tmu, tem, tiv, tva,
+    lm, ls, woff, ttab, tva,
     cfg: AlignConfig, backend: str, k: int, interpret: bool,
 ):
     """The per-device compute body shared by EVERY execution path.
@@ -302,9 +302,9 @@ def device_compute(
             from .ops import pallas_rescore
 
             tkw = {}
-            if tmu is not None:
-                tkw = dict(tables_mu=tmu, tables_em=tem, tables_iv=tiv,
-                           tables_valid=tva, window_off=woff)
+            if ttab is not None:
+                tkw = dict(tables_tab=ttab, tables_valid=tva,
+                           window_off=woff)
             base_ll = pallas_rescore.base_loglik_local_pallas(
                 x, res.path, t_len, codes, ids, lm, ls, k, cfg,
                 t_w=cfg.snp_local_window, interpret=interpret, **tkw,
@@ -326,7 +326,7 @@ def device_compute(
 )
 def _device_step(
     x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
-    lm, ls, woff, tmu, tem, tiv, tva,
+    lm, ls, woff, ttab, tva,
     cfg: AlignConfig, backend: str, k: int, interpret: bool, with_stats: bool,
 ):
     """The whole per-batch device program as ONE jitted function.
@@ -337,7 +337,7 @@ def _device_step(
     """
     score, path, base_ll = device_compute(
         x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
-        lm, ls, woff, tmu, tem, tiv, tva,
+        lm, ls, woff, ttab, tva,
         cfg=cfg, backend=backend, k=k, interpret=interpret,
     )
     stats = None
@@ -375,12 +375,12 @@ def stage_batch(batch: Batch, model: KmerModel, cfg: AlignConfig,
     lo = jnp.asarray(batch.bands.lo)
     delta = jnp.asarray(batch.bands.delta)
 
-    woff = tmu = tem = tiv = tva = None
+    woff = ttab = tva = None
     if subst is not None and backend == "pallas" and cfg.snp_rescore == "local":
         woff = jnp.asarray(subst.window_offsets(
             batch.contigs, batch.window_start, batch.window_len, batch.strand,
         ))
-        tmu, tem, tiv, tva = subst.mu, subst.em, subst.iv, subst.valid
+        ttab, tva = subst.tab4, subst.valid
 
     return dict(
         x=jnp.asarray(batch.x), t_len=jnp.asarray(batch.t_len),
@@ -389,7 +389,7 @@ def stage_batch(batch: Batch, model: KmerModel, cfg: AlignConfig,
         mu_b=mu_b, sg_b=sg_b,
         codes=jnp.asarray(batch.codes), ids=jnp.asarray(batch.ids),
         lm=jnp.asarray(model.level_mean), ls=jnp.asarray(model.level_std),
-        woff=woff, tmu=tmu, tem=tem, tiv=tiv, tva=tva,
+        woff=woff, ttab=ttab, tva=tva,
         backend=backend, k=model.k,
     )
 
@@ -417,7 +417,7 @@ def align_batch(
     score, path, stats, base_ll = _device_step(
         a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
         a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
-        a["ls"], a["woff"], a["tmu"], a["tem"], a["tiv"], a["tva"],
+        a["ls"], a["woff"], a["ttab"], a["tva"],
         cfg=cfg, backend=backend, k=k, interpret=interpret,
         with_stats=False,
     )

@@ -22,16 +22,19 @@ from nadavca_tpu.ops import pallas_dp, pallas_rescore
 from nadavca_tpu.sched.bands import ChunkedBands, gather_band_levels
 
 
+def _sync(out):
+    # block_until_ready does not reliably block through the axon tunnel —
+    # a host fetch of every leaf is the only true sync
+    jax.tree_util.tree_map(
+        lambda a: np.asarray(a) if hasattr(a, "block_until_ready") else a, out)
+
+
 def timeit(name, f, *args, k=8):
     out = f(*args)
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
-        out)
+    _sync(out)
     t0 = time.time()
     outs = [f(*args) for _ in range(k)]
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
-        outs[-1])
+    _sync(outs[-1])
     dt = (time.time() - t0) / k
     print(f"{name:>28}: {dt*1e3:8.2f} ms  ({bench.BATCH_READS/dt:8.1f} reads/s)",
           flush=True)
@@ -57,10 +60,23 @@ def main():
         res, dec = pallas_dp.pallas_viterbi_batch(
             x, t_len, mu, sigma, n_ref, lo, delta, cfg,
             mu_band=mub, sg_band=sgb)
-        return res.score, res.path
+        # reduce outputs so the sync fetch is tiny (tunnel fetch of the full
+        # path array would dominate the measurement)
+        return res.score.sum(), res.path.sum()
 
-    (score, path), dt_fillbt = timeit(
+    _, dt_fillbt = timeit(
         "fill+backtrack", jax.jit(fill_bt),
+        a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
+        a["delta"], mu_b, sg_b)
+
+    # the path array itself (device-resident input for the rescore stage)
+    def path_of(x, t_len, mu, sigma, n_ref, lo, delta, mub, sgb):
+        res, _ = pallas_dp.pallas_viterbi_batch(
+            x, t_len, mu, sigma, n_ref, lo, delta, cfg,
+            mu_band=mub, sg_band=sgb)
+        return res.path
+
+    path = jax.jit(path_of)(
         a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
         a["delta"], mu_b, sg_b)
 
@@ -80,13 +96,15 @@ def main():
         print("  (no backtrack=False knob; skipping fill-only)")
         dt_fill = None
 
-    # 3. rescore, given the path
-    def rescore(x, path, t_len, codes, ids, woff):
-        return pallas_rescore.base_loglik_local_pallas(
+    # 3. rescore, given the path (pt shadows the device path array)
+    def rescore(x, pt, t_len, codes, ids, woff):
+        path = pt
+        out = pallas_rescore.base_loglik_local_pallas(
             x, path, t_len, codes, ids, lm, ls, cfg.k, cfg,
             t_w=cfg.snp_local_window,
-            tables_mu=tables.mu, tables_em=tables.em, tables_iv=tables.iv,
-            tables_valid=tables.valid, window_off=a["woff"])
+            tables_tab=tables.tab4, tables_valid=tables.valid,
+            window_off=a["woff"])
+        return out.sum(axis=(1, 2))
 
     path = jax.device_put(path)
     _, dt_rescore = timeit(
@@ -101,9 +119,9 @@ def main():
         base_ll = pallas_rescore.base_loglik_local_pallas(
             x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
             t_w=cfg.snp_local_window,
-            tables_mu=tables.mu, tables_em=tables.em, tables_iv=tables.iv,
-            tables_valid=tables.valid, window_off=woff)
-        return res.score, base_ll.sum(axis=(1, 2))
+            tables_tab=tables.tab4, tables_valid=tables.valid,
+            window_off=woff)
+        return res.score.sum(), base_ll.sum()
 
     _, dt_full = timeit(
         "full step (fused)", jax.jit(full),

@@ -79,8 +79,7 @@ def run_config(name, cfg, records, model, subst, backend, interpret,
             staged["x"], staged["t_len"], staged["mu"], staged["sigma"],
             staged["n_ref"], staged["lo"], staged["delta"], staged["mu_b"],
             staged["sg_b"], staged["codes"], staged["ids"], staged["lm"],
-            staged["ls"], staged["woff"], staged["tmu"], staged["tem"],
-            staged["tiv"], staged["tva"],
+            staged["ls"], staged["woff"], staged["ttab"], staged["tva"],
             cfg=cfg, backend=staged["backend"], k=staged["k"],
             interpret=interpret, with_stats=False,
         )
@@ -241,6 +240,35 @@ def main():
         except Exception as e:
             failures.append(("scanpar", e))
             print(f"  [scanpar] FAILED: {e}", flush=True)
+
+        # ---- tier 3b: DMA-tables rescore at production shape -------------
+        # tables-on vs tables-off pallas on the same chip: identical paths;
+        # base_ll allclose on positions the tables path scores (it masks
+        # window-edge positions to 0 — compare where it is nonzero). This is
+        # the only affordable production-shape numeric check of the
+        # _rescore_tab_kernel DMA path (interpret at this shape is minutes).
+        print("tier 3b: DMA-tables vs computed-tables rescore (production "
+              "shape)", flush=True)
+        try:
+            recs = recs_cache[(128, 700)]
+            got, batch = run_config("tabpar", base, recs, model, subst,
+                                    "pallas", interpret=False)
+            want, _ = run_config("tabpar.ref", base, recs, model, None,
+                                 "pallas", interpret=False)
+            n = batch.n_reads
+            assert np.array_equal(got[1][:n], want[1][:n]), "paths differ"
+            scored = got[2][:n] != 0.0
+            np.testing.assert_allclose(
+                np.where(scored, got[2][:n], 0.0),
+                np.where(scored, want[2][:n], 0.0),
+                rtol=2e-3, atol=5e-3, err_msg="tabpar: base_ll")
+            frac = scored.any(axis=2).mean()
+            assert frac > 0.5, f"tables path scored only {frac:.2%} of positions"
+            print(f"  [tabpar] parity OK ({frac:.1%} positions scored)",
+                  flush=True)
+        except Exception as e:
+            failures.append(("tabpar", e))
+            print(f"  [tabpar] FAILED: {e}", flush=True)
 
     if failures:
         print(f"SMOKE GATE: {len(failures)} FAILURE(S): "

@@ -58,7 +58,7 @@ def _run(mesh_n, batch, model, genome, genome_sharded, backend="scan",
         mesh, CFG, G, backend=staged["backend"], k=model.k,
         genome_sharded=genome_sharded, interpret=interpret,
         use_bands=staged["mu_b"] is not None,
-        use_tables=staged["tmu"] is not None,
+        use_tables=staged["ttab"] is not None,
     )
     acc, cov, votes = sharded.make_accumulators_sharded(mesh, CFG, G, genome_sharded)
     staged = sharded.shard_staged(mesh, CFG, staged)

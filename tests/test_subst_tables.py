@@ -51,8 +51,8 @@ def test_table_path_matches_gather_path(world):
                                  batch.window_len, batch.strand)
     got = np.asarray(pallas_rescore.base_loglik_local_pallas(
         *common, model.k, CFG, t_w=96, interpret=True,
-        tables_mu=tables.mu, tables_em=tables.em, tables_iv=tables.iv,
-        tables_valid=tables.valid, window_off=jnp.asarray(woff)))
+        tables_tab=tables.tab4, tables_valid=tables.valid,
+        window_off=jnp.asarray(woff)))
     k = model.k
     path_np = np.asarray(path)
     for r in range(batch.n_reads):
@@ -75,7 +75,9 @@ def test_window_offsets_roundtrip(world):
     model, genome, batch, tables = world
     woff = tables.window_offsets(batch.contigs, batch.window_start,
                                  batch.window_len, batch.strand)
-    mu_np = np.asarray(tables.mu)
+    # mu is plane 1 of the stacked table; undo the 128-block split
+    t4 = np.asarray(tables.tab4)
+    mu_np = t4[1].reshape(t4.shape[1], -1)
     k = model.k
     from nadavca_tpu.genome import kmer_ids
 
