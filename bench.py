@@ -97,27 +97,21 @@ def bench_tpu(cfg, model, w, tables=None):
     import jax
     import jax.numpy as jnp
     from nadavca_tpu.ops import banded_dp, pallas_dp, pallas_rescore
-    from nadavca_tpu.sched.bands import ChunkedBands, gather_band_levels
 
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
     lm = jnp.asarray(model.level_mean)
     ls = jnp.asarray(model.level_std)
-    # host-side band pregather (overlaps with device compute in a real run)
-    bands = ChunkedBands(lo=w["lo"], delta=w["delta"],
-                         chunk_size=cfg.signal_chunk, band_width=cfg.band_width)
-    mu_b, sg_b = gather_band_levels(w["mu"], w["sigma"], bands)
-    mu_b = jnp.asarray(mu_b.transpose(1, 0, 2))
-    sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
 
     ttab = tables.tab4 if tables is not None else None
     tva = tables.valid if tables is not None else None
 
-    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids, woff, mub, sgb):
+    def step(x, t_len, mu, sigma, n_ref, lo, delta, codes, ids, woff):
         if use_pallas:
+            # band levels sliced on device (band_gather_pallas) — the same
+            # program the CLI runs; no host pregather
             res, _ = pallas_dp.pallas_viterbi_batch(
                 x, t_len, mu, sigma, n_ref, lo, delta, cfg,
-                mu_band=mub, sg_band=sgb,
             )
             base_ll = pallas_rescore.base_loglik_local_pallas(
                 x, res.path, t_len, codes, ids, lm, ls, cfg.k, cfg,
@@ -139,7 +133,7 @@ def bench_tpu(cfg, model, w, tables=None):
     f = jax.jit(step)
     args = tuple(jnp.asarray(w[k]) for k in
                  ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta",
-                  "codes", "ids", "woff")) + (mu_b, sg_b)
+                  "codes", "ids", "woff"))
     out = f(*args)
     np.asarray(out[0])  # warm compile + sync through the tunnel
     # best of 3 trials: the axon tunnel occasionally stalls a whole trial

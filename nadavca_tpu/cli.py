@@ -83,16 +83,46 @@ def _cfg_for_group(cfg, group):
     return cfg
 
 
-def _iter_raw_reads(directory):
-    yield from fast5mod.iter_fast5_dir(directory)
+def _init_distributed(args):
+    """Join the multi-process group if --coordinator was given.
+
+    Returns (multihost, process_id, num_processes). Must run before any
+    other jax call so the runtime sees the global topology (SURVEY.md §2.3;
+    BASELINE.json config 5).
+    """
+    if not getattr(args, "coordinator", None):
+        return False, 0, 1
+    import jax
+
+    from .parallel import distributed as dist
+
+    dist.initialize_distributed(args.coordinator, args.num_processes,
+                                args.process_id)
+    return jax.process_count() > 1, jax.process_index(), jax.process_count()
+
+
+def _iter_raw_reads(directory, shard=None):
+    """Stream raw reads; with shard=(pid, n) only every n-th FILE (round-
+    robin by sorted index) is read — the multi-host shared-nothing ingest."""
+    paths = []
+    for root, _dirs, files in sorted(os.walk(directory)):
+        for fn in sorted(files):
+            if fn.endswith(".fast5"):
+                paths.append(os.path.join(root, fn))
+    if shard is not None:
+        pid, n = shard
+        paths = [p for i, p in enumerate(paths) if i % n == pid]
+    for p in paths:
+        yield from fast5mod.read_fast5(p)
     from .io import pod5 as pod5mod
 
     if pod5mod.HAVE_POD5:
-        yield from pod5mod.iter_pod5_dir(directory)
+        # pod5 inputs are sharded by the same round-robin rule
+        yield from pod5mod.iter_pod5_dir(directory, shard=shard)
 
 
 def _preprocess_all(args, cfg, genome, metrics, model=None,
-                    skip_ids=None):
+                    skip_ids=None, shard=None):
     """Ingest + anchor all reads; per-read work fans out over a thread pool
     (the reference's only parallelism was a multiprocessing pool over reads —
     SURVEY.md "Per-read parallelism" row; here host threads feed the device).
@@ -106,7 +136,7 @@ def _preprocess_all(args, cfg, genome, metrics, model=None,
     work = make_preprocessor(genome, cfg, model=model,
                              mode=getattr(args, "prep", "auto"))
 
-    raws = [r for r in _iter_raw_reads(args.fast5_dir)
+    raws = [r for r in _iter_raw_reads(args.fast5_dir, shard=shard)
             if r.read_id not in skip_ids]
     metrics.count("reads_resumed_skip", 0)
     if skip_ids:
@@ -167,7 +197,14 @@ def cmd_align(args) -> int:
     n_dev = _parse_devices(args)
     mesh = sharded.make_mesh(n_dev, cfg.data_axis) if n_dev > 1 else None
     os.makedirs(args.output, exist_ok=True)
-    records = _preprocess_all(args, cfg, genome, metrics, model=model)
+    # align has no cross-read reduction, so multi-process align is pure file
+    # sharding: each process handles its slice of the inputs with its local
+    # devices and writes its own per-read outputs (no process group needed)
+    shard = None
+    if getattr(args, "num_processes", None) and args.num_processes > 1:
+        shard = (args.process_id or 0, args.num_processes)
+    records = _preprocess_all(args, cfg, genome, metrics, model=model,
+                              shard=shard)
     subst = _maybe_subst_tables(args, genome, model)
     t0 = time.time()
     n_done = 0
@@ -237,7 +274,77 @@ def cmd_align(args) -> int:
     return 0
 
 
+def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
+                       contig_off, Gp, genome_sharded, acc, cov, votes,
+                       metrics):
+    """Config-5 batch loop (BASELINE.json config 5): every process runs this
+    with its own shard of the reads. Shapes are agreed globally up front so
+    all processes compile the identical program, dispatch is synchronous
+    (cross-process collective order must match — no prefetch thread), and
+    the psum/psum_scatter merge rides the mesh (ICI in-slice, DCN across
+    hosts)."""
+    import dataclasses as _dc
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from .parallel import distributed as dist, sharded
+
+    n_local = len(jax.local_devices())
+    b = args.batch_reads
+    t_max = max((len(r.signal) for r in records), default=1)
+    l_max = max((len(r.window_codes) for r in records), default=model.k + 1)
+    nb = -(-max(len(records), 1) // b)
+    agreed = multihost_utils.process_allgather(
+        np.array([t_max, l_max, nb], np.int64)).reshape(-1, 3)
+    t_pad = int(agreed[:, 0].max())
+    l_pad = int(agreed[:, 1].max())
+    nb_g = int(agreed[:, 2].max())
+    gcfg = cfg
+    if (t_pad > cfg.adaptive_band_threshold
+            and cfg.band_width < cfg.band_width_long):
+        gcfg = _dc.replace(cfg, band_width=cfg.band_width_long)
+    r_local = _round_up(b, gcfg.read_tile * n_local)
+    records = sorted(records, key=lambda r: len(r.signal))
+    step = None
+    n_done = 0
+    for bi in range(nb_g):
+        # a process whose reads ran out contributes all-padding batches so
+        # every process still joins the collectives of rounds it has no data
+        # for (n_reads=0 rows accumulate nothing)
+        group = records[bi * b:(bi + 1) * b]
+        batch = assemble_batch(group, model, gcfg, pad_reads_to=r_local,
+                               pad_signal_to=t_pad, pad_window_to=l_pad)
+        staged = stage_batch(batch, model, gcfg, args.backend, subst=subst)
+        local = {k: np.asarray(v) for k, v in staged.items()
+                 if k not in ("backend", "k") and v is not None}
+        arrays = dist.global_staged_from_local(local, mesh, gcfg)
+        coffs = np.asarray([contig_off.get(c, 0) for c in batch.contigs],
+                           np.int64)
+        extra = dist.global_batch_from_local({
+            "wstart": (batch.window_start.astype(np.int64) + coffs
+                       ).astype(np.int32),
+            "wlen": batch.window_len.astype(np.int32),
+            "strand": batch.strand.astype(np.int32),
+        }, mesh, gcfg)
+        if step is None:
+            step = sharded.make_sharded_step(
+                mesh, gcfg, Gp, backend=staged["backend"], k=staged["k"],
+                genome_sharded=genome_sharded,
+                use_bands=staged["mu_b"] is not None,
+                use_tables=staged["ttab"] is not None,
+                with_path=False,
+            )
+        score, acc, cov, votes = step(arrays, extra["wstart"], extra["wlen"],
+                                      extra["strand"], acc, cov, votes)
+        np.asarray(score.addressable_shards[0].data)  # local pacing sync
+        n_done += batch.n_reads
+        metrics.count("reads_called", batch.n_reads)
+    return n_done, acc, cov, votes
+
+
 def cmd_snp(args) -> int:
+    multihost, pid, nproc = _init_distributed(args)
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -249,7 +356,12 @@ def cmd_snp(args) -> int:
     model = _load_model(args, cfg)
     genome = Genome.from_fasta(args.reference)
     metrics = Metrics()
-    n_dev = _parse_devices(args)
+    if multihost:
+        if args.checkpoint:
+            raise SystemExit("--checkpoint is not supported with --coordinator")
+        n_dev = len(jax.devices())   # the global mesh spans every process
+    else:
+        n_dev = _parse_devices(args)
     mesh = sharded.make_mesh(n_dev, cfg.data_axis)
 
     # ONE global accumulator over the concatenated genome: all contigs live
@@ -277,7 +389,8 @@ def cmd_snp(args) -> int:
             print(f"resuming: {len(done_ids)} reads already merged",
                   file=sys.stderr)
     records = _preprocess_all(args, cfg, genome, metrics, model=model,
-                              skip_ids=done_ids)
+                              skip_ids=done_ids,
+                              shard=(pid, nproc) if multihost else None)
 
     acc, cov, votes = sharded.make_accumulators_sharded(
         mesh, cfg, Gp, genome_sharded)
@@ -316,6 +429,33 @@ def cmd_snp(args) -> int:
     t0 = time.time()
     n_done = 0
     n_batches = 0
+
+    if multihost:
+        from .parallel import distributed as dist
+
+        n_done, acc, cov, votes = _run_snp_multihost(
+            args, cfg, model, genome, subst, mesh, records, contig_off, Gp,
+            genome_sharded, acc, cov, votes, metrics)
+        dt = time.time() - t0
+        metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
+        a_np = np.asarray(dist.fetch_replicated(acc))
+        c_np = np.asarray(dist.fetch_replicated(cov))
+        v_np = np.asarray(dist.fetch_replicated(votes))
+        if pid != 0:
+            return 0
+        all_calls: List[callmod.SnpCall] = []
+        for cname, coff in contig_off.items():
+            l = len(genome[cname])
+            all_calls.extend(callmod.call_snps(
+                a_np[coff:coff + l], c_np[coff:coff + l],
+                genome[cname].codes, cname, cfg,
+                min_coverage=args.min_coverage, votes=v_np[coff:coff + l]))
+        callmod.write_vcf(args.output, all_calls)
+        metrics.report(sys.stderr)
+        print(f"{len(all_calls)} SNP calls ({nproc} processes, "
+              f"{n_done} reads on process 0) -> {args.output}",
+              file=sys.stderr)
+        return 0
 
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
@@ -368,22 +508,32 @@ def cmd_snp(args) -> int:
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
         shape_key = (batch.shapes, gcfg.band_width)
-        if shape_key in seen_shapes:
-            if span_t0 is None:
-                span_t0 = time.time()
-        elif span_t0 is not None:
-            steady_secs += time.time() - span_t0
-            span_t0 = None
+        known = shape_key in seen_shapes
+        if not known:
+            # first-seen shape = a compile barrier. The remote compile is
+            # ASYNC (dispatch returns before it finishes), so merely closing
+            # the steady span here is not enough — a later already-compiled
+            # batch would block on this one's compile inside its own span.
+            # Run it fully synchronously, outside any span.
+            if span_t0 is not None:
+                steady_secs += time.time() - span_t0
+                span_t0 = None
+            while pending:
+                np.asarray(pending.popleft())
+        elif span_t0 is None:
+            span_t0 = time.time()
         step = get_step(gcfg, staged)
         score, acc, cov, votes = step(
             _staged_inputs(staged), extra["wstart"], extra["wlen"],
             extra["strand"], acc, cov, votes,
         )
-        pending.append(score)
-        while len(pending) > 2:
-            np.asarray(pending.popleft())  # host fetch = true sync
-        if shape_key in seen_shapes:  # compiled executable reused
+        if known:
+            pending.append(score)
+            while len(pending) > 2:
+                np.asarray(pending.popleft())  # host fetch = true sync
             steady_reads += batch.n_reads
+        else:
+            np.asarray(score)  # absorb the compile outside the steady window
         seen_shapes.add(shape_key)
         n_done += batch.n_reads
         n_batches += 1
@@ -493,6 +643,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="number of local devices to shard batches over "
                              "(int or 'all'; default 1)")
         sp.add_argument("--profile", help="write a jax.profiler trace here")
+        sp.add_argument("--coordinator",
+                        help="multi-process coordinator address host:port "
+                             "(snp: joins a jax.distributed group; every "
+                             "process must pass the same value)")
+        sp.add_argument("--num-processes", type=int,
+                        help="total processes in the group")
+        sp.add_argument("--process-id", type=int,
+                        help="this process's rank (0-based)")
 
     sa = sub.add_parser("align", help="signal→reference alignments per read")
     common(sa)

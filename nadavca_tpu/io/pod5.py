@@ -49,8 +49,16 @@ def read_pod5(path: str) -> List[RawRead]:
     return out
 
 
-def iter_pod5_dir(directory: str) -> Iterator[RawRead]:
+def iter_pod5_dir(directory: str, shard=None) -> Iterator[RawRead]:
+    """Stream reads from every .pod5 under a directory; shard=(pid, n)
+    round-robins files across processes (multi-host shared-nothing ingest)."""
+    paths = []
     for root, _dirs, files in sorted(os.walk(directory)):
         for fn in sorted(files):
             if fn.endswith(".pod5"):
-                yield from read_pod5(os.path.join(root, fn))
+                paths.append(os.path.join(root, fn))
+    if shard is not None:
+        pid, n = shard
+        paths = [p for i, p in enumerate(paths) if i % n == pid]
+    for p in paths:
+        yield from read_pod5(p)

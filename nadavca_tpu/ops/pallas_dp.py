@@ -361,6 +361,96 @@ def backtrack_from_bits(
     return path
 
 
+def _band_gather_kernel(lo_ref, mu_ref, sg_ref, mub_ref, sgb_ref, *,
+                        n_chunks: int, band_width: int, rt: int, npb: int):
+    """Per (read, chunk) band slice mu[r, lo[r,c] : lo+B] on device.
+
+    The host numpy pregather measured 0.17–0.33 s/batch at CLI shapes on the
+    2-CPU host and its (n_chunks, R, B) result is ~23 MB of H2D per batch —
+    both vanish by slicing on device. Per-read offsets are arbitrary, so:
+    coarse 128-blocks via dynamic LEADING-dim indexing of the (rt, Np/128,
+    1, 128) block, fine residual via a dynamic roll + lane select (the same
+    two-level pattern as the shear/table kernels).
+    """
+    r = pl.program_id(0)
+    B = band_width
+    nb = B // 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def chunk_body(c, _):
+        for rr in range(rt):
+            lo_v = lo_ref[c, r * rt + rr]
+            q0 = lo_v // 128
+            ro = lo_v % 128
+            blocks_mu = [mu_ref[rr, pl.ds(q0 + i, 1), 0, :]
+                         for i in range(nb + 1)]
+            blocks_sg = [sg_ref[rr, pl.ds(q0 + i, 1), 0, :]
+                         for i in range(nb + 1)]
+            for j in range(nb):
+                sel = lane < 128 - ro
+                mub_ref[pl.ds(c, 1), rr, j * 128 : (j + 1) * 128] = jnp.where(
+                    sel, pltpu.roll(blocks_mu[j], 128 - ro, axis=1),
+                    pltpu.roll(blocks_mu[j + 1], 128 - ro, axis=1))
+                sgb_ref[pl.ds(c, 1), rr, j * 128 : (j + 1) * 128] = jnp.where(
+                    sel, pltpu.roll(blocks_sg[j], 128 - ro, axis=1),
+                    pltpu.roll(blocks_sg[j + 1], 128 - ro, axis=1))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def band_gather_pallas(mu, sigma, lo, band_width: int, rt: int = 8,
+                       interpret: bool = False):
+    """(n_chunks, R, B) chunk-major band levels, sliced on device.
+
+    Same contract as sched.gather_band_levels + transpose: out[c, r, :] =
+    mu[r, lo[r, c] : lo[r, c] + B], positions beyond N reading the pad
+    values (mu 0, sigma 1). lo must satisfy 0 <= lo <= max(N - B, 0)
+    (build_chunked_bands guarantees this).
+    """
+    R, N = mu.shape
+    n_chunks = lo.shape[1]
+    B = band_width
+    # pad the read axis up to the tile (per-device shard_map shards can be
+    # smaller than rt) and the position axis so the coarse blocks
+    # q0 .. q0 + B/128 always exist
+    Rp = -(-R // rt) * rt
+    Np = -(-N // 128) * 128 + 128
+    mu_p = jnp.pad(mu, ((0, Rp - R), (0, Np - N))
+                   ).reshape(Rp, Np // 128, 1, 128)
+    sg_p = jnp.pad(sigma, ((0, Rp - R), (0, Np - N)),
+                   constant_values=1.0).reshape(Rp, Np // 128, 1, 128)
+    lo_sp = jnp.pad(lo, ((0, Rp - R), (0, 0))).T.astype(jnp.int32)
+    kernel = functools.partial(
+        _band_gather_kernel, n_chunks=n_chunks, band_width=B, rt=rt,
+        npb=Np // 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Rp // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, Np // 128, 1, 128), lambda r, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, Np // 128, 1, 128), lambda r, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_chunks, rt, B), lambda r, *_: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunks, rt, B), lambda r, *_: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_chunks, Rp, B), jnp.float32)] * 2,
+        interpret=interpret,
+    )(lo_sp, mu_p.astype(jnp.float32), sg_p.astype(jnp.float32))
+    if Rp != R:
+        out = (out[0][:, :R], out[1][:, :R])
+    return out
+
+
 def gather_band_levels_jax(mu, sigma, lo, band_width):
     """Device-side band-slice pregather (jittable version of sched.gather_band_levels)."""
     R, N = mu.shape
@@ -395,7 +485,8 @@ def pallas_viterbi_batch(
     R, T = x.shape
     B = cfg.band_width
     if mu_band is None:
-        mu_band, sg_band = gather_band_levels_jax(mu, sigma, lo, B)
+        mu_band, sg_band = band_gather_pallas(mu, sigma, lo, B,
+                                              interpret=interpret)
     n_chunks = lo.shape[1]
     lo_cm = lo.T.reshape(n_chunks, R, 1).astype(jnp.int32)
     dl_cm = delta.T.reshape(n_chunks, R, 1).astype(jnp.int32)

@@ -88,7 +88,8 @@ class SubstTables:
     def window_offsets(self, contig_names, wstart: np.ndarray,
                        wlen: np.ndarray, strand: np.ndarray) -> np.ndarray:
         """Row offset of each read's window slice in the concatenated table."""
-        base = np.asarray([self.contig_offsets[c] for c in contig_names],
+        # .get: all-padding batches (multi-host empty rounds) carry "" rows
+        base = np.asarray([self.contig_offsets.get(c, 0) for c in contig_names],
                           np.int64)
         fwd = base + wstart
         rev = self.g_total + (self.g_total - (base + wstart + wlen))

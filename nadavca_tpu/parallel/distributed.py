@@ -98,6 +98,18 @@ def global_staged_from_local(local_arrays: dict, mesh, cfg):
 
 
 def fetch_replicated(x) -> np.ndarray:
-    """Materialize a (replicated or fully-addressable) global array on host."""
-    return np.asarray(jax.experimental.multihost_utils.process_allgather(x)) \
-        if not x.is_fully_addressable else np.asarray(x)
+    """Materialize a global array on every host.
+
+    Three cases: fully-addressable (single process) — plain fetch;
+    replicated across processes — every device shard IS the full array, read
+    the local one; sharded across processes (genome-sharded accumulators) —
+    process_allgather with tiled=True reassembles the global value.
+    """
+    if x.is_fully_addressable:
+        return np.asarray(x)
+    shard = x.addressable_shards[0]
+    if tuple(shard.data.shape) == tuple(x.shape):
+        return np.asarray(shard.data)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -186,21 +186,28 @@ def assemble_batch(
     model: KmerModel,
     cfg: AlignConfig,
     pad_reads_to: Optional[int] = None,
+    pad_signal_to: Optional[int] = None,
+    pad_window_to: Optional[int] = None,
 ) -> Batch:
     """Pad preprocessed reads into one device batch.
 
     Shapes are canonicalized — R rounds up to the read tile, T to the signal
     bucket edges, L to a 256 multiple — so repeated batches hit the same
     compiled executable (SURVEY.md §7.3 item 3: bucketed padding for shape
-    stability).
+    stability). Multi-host callers pass pad_signal_to/pad_window_to (agreed
+    across processes) so every process compiles the identical program; an
+    empty ``records`` yields an all-padding batch (n_reads=0) for processes
+    that run out of local reads before the globally-agreed batch count.
     """
     n = len(records)
     tile = max(cfg.read_tile, 8)
     R = pad_reads_to or _round_up(max(n, 1), tile)
     assert R % tile == 0 and R >= n, (R, tile, n)
-    T_raw = max(len(r.signal) for r in records)
+    T_raw = max([len(r.signal) for r in records] + [pad_signal_to or 1])
     T = _round_up(_bucket(T_raw, cfg.bucket_edges), cfg.signal_chunk)
-    L = _round_up(max(len(r.window_codes) for r in records), 256)
+    L_raw = max([len(r.window_codes) for r in records]
+                + [pad_window_to or (model.k + 1)])
+    L = _round_up(L_raw, 256)
     N = L - model.k + 1
 
     x = np.zeros((R, T), np.float32)
@@ -364,14 +371,11 @@ def stage_batch(batch: Batch, model: KmerModel, cfg: AlignConfig,
     cost.
     """
     backend = resolve_backend(cfg, backend)
-    if backend == "pallas":
-        from .sched.bands import gather_band_levels
-
-        mu_b, sg_b = gather_band_levels(batch.mu, batch.sigma, batch.bands)
-        mu_b = jnp.asarray(mu_b.transpose(1, 0, 2))
-        sg_b = jnp.asarray(sg_b.transpose(1, 0, 2))
-    else:
-        mu_b = sg_b = None
+    # band levels are sliced ON DEVICE (ops/pallas_dp.band_gather_pallas):
+    # the host numpy pregather took 0.17-0.33 s/batch on the 2-CPU host and
+    # its result was ~23 MB of per-batch H2D — both dominated CLI steady
+    # throughput (round-3 measurement)
+    mu_b = sg_b = None
     lo = jnp.asarray(batch.bands.lo)
     delta = jnp.asarray(batch.bands.delta)
 

@@ -110,16 +110,24 @@ def worker(pid: int) -> None:
 
     # each host contributes its own half of the reads (shared-nothing ingest)
     local = records[pid * 4:(pid + 1) * 4]
-    batch = assemble_batch(local, model, cfg, pad_reads_to=8)
-    staged = stage_batch(batch, model, cfg, "scan")
+    # pad so each of the 8 global devices gets a full read_tile of rows
+    batch = assemble_batch(local, model, cfg, pad_reads_to=32)
+    # the PRODUCTION config-5 layout (VERDICT r2 task 5): Pallas kernels
+    # (interpret mode on CPU) + genome-SHARDED accumulators merged by
+    # psum_scatter across the processes — not the scan/replicated fallback
+    staged = stage_batch(batch, model, cfg, "pallas")
     local_arrays = {k: np.asarray(v) for k, v in staged.items()
                     if k not in ("backend", "k") and v is not None}
     local_arrays.update(
         wstart=batch.window_start, wlen=batch.window_len, strand=batch.strand)
 
     G = len(genome["ref"])
-    step = sharded.make_sharded_step(mesh, cfg, G, backend="scan", k=model.k)
-    acc, cov, votes = sharded.make_accumulators_sharded(mesh, cfg, G)
+    assert G % (n_dev * 128) == 0, (G, n_dev)
+    step = sharded.make_sharded_step(mesh, cfg, G, backend="pallas",
+                                     k=model.k, interpret=True,
+                                     genome_sharded=True)
+    acc, cov, votes = sharded.make_accumulators_sharded(
+        mesh, cfg, G, genome_sharded=True)
     arrays = dist.global_staged_from_local(local_arrays, mesh, cfg)
     inputs = {k: v for k, v in arrays.items()
               if k not in ("wstart", "wlen", "strand")}
@@ -127,15 +135,16 @@ def worker(pid: int) -> None:
         inputs, arrays["wstart"], arrays["wlen"], arrays["strand"],
         acc, cov, votes,
     )
-    # accumulators are replicated: every process holds full local copies
-    cov_h = np.asarray(cov.addressable_shards[0].data)
-    acc_h = np.asarray(acc.addressable_shards[0].data)
-    votes_h = np.asarray(votes.addressable_shards[0].data)
+    # genome-sharded accumulators: reassemble the global value on host
+    cov_h = dist.fetch_replicated(cov)
+    acc_h = dist.fetch_replicated(acc)
+    votes_h = dist.fetch_replicated(votes)
     assert cov_h.shape == (G,), cov_h.shape
     if pid == 0:
-        # per-batch collective traffic of the replicated-accumulator layout:
-        # one psum each for acc (G*4 f32), cov (G i32), votes (G*4 i32)
-        coll_bytes = G * 4 * 4 + G * 4 + G * 4 * 4
+        # per-batch collective traffic of the genome-sharded layout: one
+        # psum_scatter each for acc/cov/votes — each device RECEIVES only
+        # its G/n_dev genome slice (1/n_dev of the replicated layout's psum)
+        coll_bytes = (G * 4 * 4 + G * 4 + G * 4 * 4) // n_dev
         print(f"[proc 0] collective traffic/batch: {coll_bytes} bytes "
               f"(G={G}); batch payload ~{sum(v.nbytes for v in local_arrays.values())} bytes",
               flush=True)
