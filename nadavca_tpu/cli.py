@@ -136,8 +136,14 @@ def _preprocess_all(args, cfg, genome, metrics, model=None,
     work = make_preprocessor(genome, cfg, model=model,
                              mode=getattr(args, "prep", "auto"))
 
-    raws = [r for r in _iter_raw_reads(args.fast5_dir, shard=shard)
-            if r.read_id not in skip_ids]
+    raws = _iter_raw_reads(args.fast5_dir, shard=shard)
+    if getattr(args, "basecalls", None):
+        # sidecar basecall source (pod5 stores raw signal only): join
+        # basecall + move table onto signal-only reads by read_id
+        from .io.sidecar import join_basecalls, load_sidecar_basecalls
+
+        raws = join_basecalls(raws, load_sidecar_basecalls(args.basecalls))
+    raws = [r for r in raws if r.read_id not in skip_ids]
     metrics.count("reads_resumed_skip", 0)
     if skip_ids:
         metrics.count("reads_resumed_skip",
@@ -636,6 +642,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "pallas", "scan"])
         sp.add_argument("--workers", type=int, default=2,
                         help="host ingest/preprocess threads")
+        sp.add_argument("--basecalls",
+                        help="sidecar basecall file (tsv: read_id/basecall/"
+                             "move_csv, or .sam with mv:B:c tags) joined to "
+                             "signal-only reads, e.g. pod5 input")
         sp.add_argument("--prep", default="auto",
                         choices=["auto", "native", "python"],
                         help="per-read prep engine (native = C++ csrc/prep)")
