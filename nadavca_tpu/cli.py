@@ -670,7 +670,7 @@ def build_parser() -> argparse.ArgumentParser:
     ss = sub.add_parser("snp", help="signal-level SNP calls")
     common(ss)
     ss.add_argument("-o", "--output", required=True, help="output VCF path")
-    ss.add_argument("--min-coverage", type=int, default=2)
+    ss.add_argument("--min-coverage", type=int, default=3)
     ss.add_argument("--genome-sharded", default="auto",
                     choices=["auto", "on", "off"],
                     help="shard the locus accumulators over devices "

@@ -45,7 +45,11 @@ class AlignConfig:
     snp_ll_clip: float = 25.0     # per-read per-position |log-lik delta| cap
                                   # (bounds the influence of one bad read)
     snp_vote_margin: float = 3.0  # per-read margin for an alt "vote"
-    snp_min_alt_votes: int = 2    # reads voting alt required for a call
+    snp_min_alt_votes: int = 3    # reads voting alt required for a call
+                                  # (3 removes the 4x-coverage FP floor:
+                                  # grid FP 14 -> 7 at recall cost only
+                                  # below min_coverage — threshold sweep
+                                  # 2026-08-20, BASELINE.md)
     snp_cluster_prune: bool = True  # suppress weaker calls within k of a stronger one
     # --- batching ---
     # signal-length buckets: ~1.25x geometric steps (128-aligned) bound the

@@ -32,65 +32,91 @@ RT = 8    # reads per tile (sublanes)
 LT = 128  # positions per tile (lanes)
 
 
-def _count_kernel(p_ref, out_ref, *, np_lanes, chunk, r_tile):
+def _count_kernel(tlen_ref, p_ref, out_ref, *, np_lanes, chunk, r_tile, w_t):
+    """Per chunk: one dense compare window at floor128(min), cheap whole-row
+    adds right of it, and a rare full-width fallback.
+
+    The path is monotone per read, so a chunk's LIVE values span a narrow
+    window (~chunk/dwell positions). The previous per-lane-tile version
+    branched 2x per 128-lane tile per step (pl.when overhead dominated:
+    ~10 us/step) and, worse, a single padded sample drove the block max to
+    the sentinel so every mixed chunk ran the dense compare over most lane
+    tiles. Sentinel-aware stats fix both: lanes above the live max add the
+    per-read LIVE sample count (a prefix of the chunk, from t_len), not the
+    chunk length.
+    """
     c = pl.program_id(1)
-    blk = p_ref[:]                                   # (RT, chunk)
-    # the path is monotone per read, so this chunk's values span a narrow
-    # window [m0, m1] (~chunk/dwell positions). Lanes i <= m0 count nothing;
-    # lanes i > m1 count every sample; only lane tiles intersecting (m0, m1]
-    # need the dense per-sample compare — typically 1 of np_lanes/128 tiles.
+    blk = p_ref[:]                                   # (rt, chunk)
     m0 = jnp.min(blk)
-    m1 = jnp.max(blk)
+    live = blk < np_lanes
+    m1r = jnp.max(jnp.where(live, blk, -1))          # max over LIVE samples
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros((r_tile, np_lanes), jnp.int32)
 
-    for lt0 in range(0, np_lanes, 128):
-        iota = jax.lax.broadcasted_iota(jnp.int32, (r_tile, 128), 1) + lt0
+    n_live = jnp.clip(tlen_ref[:] - c * chunk, 0, chunk)       # (rt, 1)
+    iota_full = jax.lax.broadcasted_iota(jnp.int32, (r_tile, np_lanes), 1)
+    lt0 = jnp.clip((m0 // 128) * 128, 0, np_lanes - w_t)
+    lt0 = pl.multiple_of(lt0, 128)
+    above = iota_full >= lt0 + w_t
+    # lanes right of the dense window and above every live value count all
+    # live samples of this chunk (live samples are a prefix: t_len-derived)
+    out_ref[:] = out_ref[:] + jnp.where(above & (iota_full > m1r),
+                                        n_live, 0)
 
-        @pl.when(m1 < lt0)          # all samples < every lane in this tile
-        def _(lt0=lt0):
-            out_ref[:, lt0 : lt0 + 128] = out_ref[:, lt0 : lt0 + 128] + chunk
+    # dense window [lt0, lt0 + w_t): per-sample compares; static unroll so
+    # every lane index stays static (Mosaic rejects dynamic lane indices —
+    # the round-2 regression, VERDICT.md weakness #1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (r_tile, w_t), 1) + lt0
+    acc = jnp.zeros((r_tile, w_t), jnp.int32)
+    for s in range(chunk):
+        acc = acc + (blk[:, s : s + 1] < iota_t).astype(jnp.int32)
+    out_ref[:, pl.ds(lt0, w_t)] = out_ref[:, pl.ds(lt0, w_t)] + acc
 
-        @pl.when((lt0 <= m1) & (m0 < lt0 + 127))     # transition tile
-        def _(lt0=lt0, iota=iota):
-            # Python loop ⇒ every lane index is STATIC. A dynamic lane index
-            # here (e.g. fori_loop with pl.ds(s, 1)) is rejected by Mosaic
-            # ("cannot statically prove index is a multiple of 128") — the
-            # round-2 regression, VERDICT.md weakness #1.
-            acc = jnp.zeros((r_tile, 128), jnp.int32)
-            for s in range(chunk):
-                col = blk[:, s : s + 1]                         # (RT, 1)
-                acc = acc + (col < iota).astype(jnp.int32)
-            out_ref[:, lt0 : lt0 + 128] = out_ref[:, lt0 : lt0 + 128] + acc
-        # remaining case (lt0 + 127 <= m0): every lane <= all samples, add 0
+    # rare fallback: the chunk's live span outran the dense window (a jump
+    # > w_t - 127 positions within one chunk)
+    @pl.when(m1r >= lt0 + w_t)
+    def _():
+        acc2 = jnp.zeros((r_tile, np_lanes), jnp.int32)
+        for s in range(chunk):
+            acc2 = acc2 + (blk[:, s : s + 1] < iota_full).astype(jnp.int32)
+        out_ref[:] = out_ref[:] + jnp.where(above & (iota_full <= m1r),
+                                            acc2, 0)
 
 
-def path_counts_pallas(path_safe, n_lanes: int, rt: int = 64,
-                       chunk: int = 256, interpret: bool = False):
+def path_counts_pallas(path_safe, n_lanes: int, t_len=None, rt: int = 64,
+                       chunk: int = 256, w_t: int = 256,
+                       interpret: bool = False):
     """C[r, i] = #{t : path_safe[r, t] < i} for i in [0, n_lanes).
 
     For a monotone nondecreasing path this is searchsorted-left as a dense
     counting reduction — the XLA alternative (segment_min scatter over R·T
     elements) measured 86 ms at bench shapes vs ~3 ms here. Masked samples
-    must be pre-set to >= n_lanes - 1 so they never count.
+    must be pre-set to >= n_lanes so they never count; t_len (R,) gives the
+    per-read live-sample count (live samples must be a prefix). t_len=None
+    means every sample below the sentinel is live (t_len = T).
     """
     R, T = path_safe.shape
-    assert n_lanes % 128 == 0
+    assert n_lanes % 128 == 0 and w_t % 128 == 0 and n_lanes >= w_t
     Rp = -(-R // rt) * rt
     Tp = -(-T // chunk) * chunk
+    if t_len is None:
+        t_len = jnp.full((R,), T, jnp.int32)
     if Rp != R or Tp != T:
         # padded samples carry the sentinel (never < any lane index)
         path_safe = jnp.pad(path_safe, ((0, Rp - R), (0, Tp - T)),
                             constant_values=n_lanes)
+        t_len = jnp.pad(t_len, (0, Rp - R))
     kernel = functools.partial(
-        _count_kernel, np_lanes=n_lanes, chunk=chunk, r_tile=rt
+        _count_kernel, np_lanes=n_lanes, chunk=chunk, r_tile=rt, w_t=w_t
     )
     out = pl.pallas_call(
         kernel,
         grid=(Rp // rt, Tp // chunk),
         in_specs=[
+            pl.BlockSpec((rt, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, chunk), lambda r, c: (r, c),
                          memory_space=pltpu.VMEM),
         ],
@@ -98,12 +124,12 @@ def path_counts_pallas(path_safe, n_lanes: int, rt: int = 64,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, n_lanes), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Rp * Tp * n_lanes,
+            flops=2 * Rp * Tp * w_t,
             bytes_accessed=int(Rp * Tp * 4 + Rp * n_lanes * 4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(path_safe.astype(jnp.int32))
+    )(t_len.reshape(Rp, 1).astype(jnp.int32), path_safe.astype(jnp.int32))
     return out[:R]
 
 
@@ -365,9 +391,12 @@ def base_loglik_local_pallas(
     # instead of the segment_min scatter (86 ms -> ~3 ms at bench shapes).
     # Count index i runs 0..N so both bounds come from one array.
     tmask = jnp.arange(T)[None, :] < t_len[:, None]
-    path_safe = jnp.where(tmask, path, N)
     Np = -(-(N + 1) // 128) * 128
-    cnt = path_counts_pallas(path_safe, Np, interpret=interpret)  # (R, Np)
+    # sentinel >= Np so the kernel's live-mask excludes padded samples (the
+    # used count lanes are <= N, where no sentinel ever counted anyway)
+    path_safe = jnp.where(tmask, path, Np)
+    cnt = path_counts_pallas(path_safe, Np, t_len=t_len,
+                             interpret=interpret)  # (R, Np)
 
     first_pos = path[:, 0]
     last_t = jnp.maximum(t_len - 1, 0)

@@ -138,16 +138,20 @@ def run_cell(cell: Cell, backend: str, seed: int, interpret: bool = False,
             jnp.asarray(batch.window_start), jnp.asarray(batch.window_len),
             jnp.asarray(batch.strand), votes=votes, cfg=cfg,
         )
+    # min_coverage matches the CLI default (3 since the 2026-08-20
+    # threshold sweep: votes>=3 + cov>=3 removes the 4x-coverage FP floor;
+    # sites below it are honest no-calls and excluded from recall)
+    min_cov = 3
     calls = callmod.call_snps(
         np.asarray(acc), np.asarray(cov), ref_genome["ref"].codes, "ref",
-        cfg, min_coverage=2, votes=np.asarray(votes),
+        cfg, min_coverage=min_cov, votes=np.asarray(votes),
     )
     wall = time.time() - t0
     cov_np = np.asarray(cov)
     called = {(c.position, c.alt_base) for c in calls}
     truth_set = {(p, "ACGT"[b]) for p, b in truth.items()}
     # only truth positions with callable coverage count toward recall
-    callable_truth = {(p, a) for (p, a) in truth_set if cov_np[p] >= 2}
+    callable_truth = {(p, a) for (p, a) in truth_set if cov_np[p] >= min_cov}
     tp = len(called & callable_truth)
     fp = len(called - truth_set)
     fn = len(callable_truth - called)
