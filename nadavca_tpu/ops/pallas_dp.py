@@ -518,11 +518,13 @@ def pallas_viterbi_batch(
 # --------------------------------------------------------------------------
 
 def _advbits_kernel(
-    # inputs: dec_ref (1, R, B) decision plane0 word slab (word w = Tw-1-g);
-    #   [dec2_ref (1, R, B) plane1 when use_skip;] dl_ref (1, R, 1) band delta
-    #   of this word's chunk; jend_ref (R, 1) argmax band slot (read at g==0)
-    # outputs: adv_ref (1, R, 1) packed adv bit0 of this word
-    #   [adv2_ref (1, R, 1) packed adv bit1 when use_skip]
+    # inputs: dec_ref (C/32, R, B) decision plane0 words of ONE CHUNK
+    #   (chunk index n_chunks-1-g — one grid step per chunk, not per word:
+    #   at per-word granularity the ~13 us/step grid overhead dominated);
+    #   [dec2_ref (C/32, R, B) plane1 when use_skip;] dl_ref (1, R, 1) band
+    #   delta of this chunk; jend_ref (R, 1) argmax band slot (read at g==0)
+    # outputs: adv_ref (C/32, R, 1) packed adv bit0 per word
+    #   [adv2_ref (C/32, R, 1) packed adv bit1 when use_skip]
     # scratch: p_scr (R, B) carried one-hot pointer plane
     *refs,
     n_words: int,
@@ -537,52 +539,52 @@ def _advbits_kernel(
         dec_ref, dl_ref, jend_ref, adv_ref, p_scr = refs
         dec2_ref = adv2_ref = None
     g = pl.program_id(0)
-    w = n_words - 1 - g
     B = band_width
-    C = chunk_size
+    wpc = chunk_size // 32                  # words per chunk
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, B), 1)
 
     @pl.when(g == 0)
     def _():
         p_scr[:] = (lane == jend_ref[:]).astype(jnp.int32)
 
-    word = dec_ref[0]                       # (R, B)
-    word2 = dec2_ref[0] if use_skip else None
     zero_col = jnp.zeros((r, 1), jnp.int32)
     zero_col2 = jnp.zeros((r, 2), jnp.int32)
+    p = p_scr[:]
+    for wi in range(wpc - 1, -1, -1):       # words of the chunk, descending
+        word = dec_ref[wi]                  # (R, B)
+        word2 = dec2_ref[wi] if use_skip else None
 
-    def body(i, carry):
-        p, pack, pack2 = carry
-        s = 31 - i                          # walk t = 32w+31 .. 32w
-        moved = p & ((word >> s) & 1)       # one-hot at the pointer, iff move
+        def body(i, carry, word=word, word2=word2):
+            p, pack, pack2 = carry
+            s = 31 - i                      # walk t = 32w+31 .. 32w
+            moved = p & ((word >> s) & 1)   # one-hot at the pointer, iff move
+            if use_skip:
+                skipped = p & ((word2 >> s) & 1)
+                p = (p - moved - skipped
+                     + jnp.concatenate([moved[:, 1:], zero_col], axis=1)
+                     + jnp.concatenate([skipped[:, 2:], zero_col2], axis=1))
+                pack2 = pack2 | (skipped << s)
+            else:
+                p = p - moved + jnp.concatenate([moved[:, 1:], zero_col],
+                                                axis=1)
+            # distinct steps set distinct bit positions, so the lane-sum at
+            # the end of the word reassembles the packed adv bits without
+            # collisions
+            pack = pack | (moved << s)
+            return p, pack, pack2
+
+        p, pack, pack2 = jax.lax.fori_loop(
+            0, 32, body,
+            (p, jnp.zeros((r, B), jnp.int32), jnp.zeros((r, B), jnp.int32)),
+            unroll=True,
+        )
+        adv_ref[wi] = jnp.sum(pack, axis=1, keepdims=True)
         if use_skip:
-            skipped = p & ((word2 >> s) & 1)
-            p = (p - moved - skipped
-                 + jnp.concatenate([moved[:, 1:], zero_col], axis=1)
-                 + jnp.concatenate([skipped[:, 2:], zero_col2], axis=1))
-            pack2 = pack2 | (skipped << s)
-        else:
-            p = p - moved + jnp.concatenate([moved[:, 1:], zero_col], axis=1)
-        # distinct steps set distinct bit positions, so the lane-sum at the
-        # end of the word reassembles the packed adv bits without collisions
-        pack = pack | (moved << s)
-        return p, pack, pack2
-
-    p, pack, pack2 = jax.lax.fori_loop(
-        0, 32, body,
-        (p_scr[:], jnp.zeros((r, B), jnp.int32), jnp.zeros((r, B), jnp.int32)),
-        unroll=True,
-    )
-    p_scr[:] = p
-    adv_ref[0] = jnp.sum(pack, axis=1, keepdims=True)
-    if use_skip:
-        adv2_ref[0] = jnp.sum(pack2, axis=1, keepdims=True)
+            adv2_ref[wi] = jnp.sum(pack2, axis=1, keepdims=True)
 
     # crossing into the previous chunk: slot j here is slot j + delta there
-    @pl.when((w % (C // 32)) == 0)
-    def _():
-        d_col = dl_ref[0]
-        p_scr[:] = _shift_lanes_right(p_scr[:], d_col, B, lane, 0)
+    d_col = dl_ref[0]
+    p_scr[:] = _shift_lanes_right(p, d_col, B, lane, 0)
 
 
 def backtrack_pallas(decs, lo, delta, j_end, chunk_size: int,
@@ -594,24 +596,25 @@ def backtrack_pallas(decs, lo, delta, j_end, chunk_size: int,
     T = Tw * 32
     C = chunk_size
     n_chunks = lo.shape[1]
-    assert C % 32 == 0
+    assert C % 32 == 0 and Tw % (C // 32) == 0
+    wpc = C // 32
     kernel = functools.partial(
         _advbits_kernel, n_words=Tw, chunk_size=C, band_width=B, r=R,
         use_skip=use_skip,
     )
     dl_cm = delta.T[:, :, None].astype(jnp.int32)
 
-    dec_spec = pl.BlockSpec((1, R, B), lambda g: (Tw - 1 - g, 0, 0),
+    dec_spec = pl.BlockSpec((wpc, R, B), lambda g: (n_chunks - 1 - g, 0, 0),
                             memory_space=pltpu.VMEM)
-    adv_spec = pl.BlockSpec((1, R, 1), lambda g: (Tw - 1 - g, 0, 0),
+    adv_spec = pl.BlockSpec((wpc, R, 1), lambda g: (n_chunks - 1 - g, 0, 0),
                             memory_space=pltpu.VMEM)
     adv_shape = jax.ShapeDtypeStruct((Tw, R, 1), jnp.int32)
     n_planes = 2 if use_skip else 1
     out = pl.pallas_call(
         kernel,
-        grid=(Tw,),
+        grid=(n_chunks,),
         in_specs=[dec_spec] * n_planes + [
-            pl.BlockSpec((1, R, 1), lambda g: ((Tw - 1 - g) * 32 // C, 0, 0),
+            pl.BlockSpec((1, R, 1), lambda g: (n_chunks - 1 - g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
