@@ -52,6 +52,9 @@ def _parse_tsv(path: str) -> Sidecar:
     return out
 
 
+_RC = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
 def _parse_sam(path: str) -> Sidecar:
     out: Sidecar = {}
     with open(path) as f:
@@ -62,8 +65,21 @@ def _parse_sam(path: str) -> Sidecar:
             if len(fields) < 11:
                 raise ValueError(f"{path}:{ln}: not a SAM record")
             rid, seq = fields[0], fields[9]
+            try:
+                flag = int(fields[1])
+            except ValueError:
+                raise ValueError(f"{path}:{ln}: bad FLAG field {fields[1]!r}")
+            if flag & 0x900:
+                # secondary/supplementary: usually hard-clipped partial SEQ,
+                # and must never overwrite the primary record's entry
+                continue
             if seq in ("*", ""):
                 continue
+            if flag & 0x10:
+                # reverse-strand mapping: SEQ is the reverse complement of
+                # the basecall, but the mv tag stays in signal orientation —
+                # restore read/signal orientation so the pair lines up
+                seq = seq.translate(_RC)[::-1]
             stride = None
             flags = None
             ts = 0
@@ -78,9 +94,10 @@ def _parse_sam(path: str) -> Sidecar:
                 continue  # no move table -> unusable for signal anchoring
             starts = ts + stride * np.flatnonzero(flags == 1)
             if len(starts) != len(seq):
-                raise ValueError(
-                    f"{path}:{ln}: mv tag has {len(starts)} base starts for "
-                    f"a {len(seq)}-base SEQ")
+                # hard-clipped or otherwise truncated SEQ: the move table
+                # covers the full read, so the pair cannot be joined — skip
+                # the record rather than aborting the whole sidecar load
+                continue
             out[rid] = (seq, starts.astype(np.int64))
     return out
 

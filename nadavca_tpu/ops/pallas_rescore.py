@@ -326,7 +326,7 @@ def rescore_fill_tab_pallas(xs, w, kk, codes, woff, tab4, cfg: AlignConfig,
         in_specs=[
             pl.BlockSpec((t_w, RT, LT), lambda r, l, *_: (0, r, l),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),

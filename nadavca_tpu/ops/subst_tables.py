@@ -86,14 +86,33 @@ class SubstTables:
     k: int
 
     def window_offsets(self, contig_names, wstart: np.ndarray,
-                       wlen: np.ndarray, strand: np.ndarray) -> np.ndarray:
-        """Row offset of each read's window slice in the concatenated table."""
+                       wlen: np.ndarray, strand: np.ndarray,
+                       padded_len: int = 0) -> np.ndarray:
+        """Row offset of each read's window slice in the concatenated table.
+
+        Pass ``padded_len`` (the batch's padded window length L) to validate
+        that every slice stays inside the table: the rescore kernel DMAs
+        ``padded_len`` rows from each offset with NO clamping, so a batch
+        whose L exceeds the build-time tail pad would read out of bounds
+        (ADVICE r3). On violation this raises with the pad to rebuild with.
+        """
         # .get: all-padding batches (multi-host empty rounds) carry "" rows
         base = np.asarray([self.contig_offsets.get(c, 0) for c in contig_names],
                           np.int64)
         fwd = base + wstart
         rev = self.g_total + (self.g_total - (base + wstart + wlen))
-        return np.where(strand > 0, fwd, rev).astype(np.int32)
+        off = np.where(strand > 0, fwd, rev).astype(np.int32)
+        if padded_len and len(off):
+            rows_p = self.tab4.shape[2] * 128
+            # +256: the kernel's two-block DMA may touch up to off + L + 255
+            worst = int(off.max()) + int(padded_len) + 256
+            if worst > rows_p:
+                raise ValueError(
+                    f"padded window length {padded_len} overruns the subst "
+                    f"table tail pad (needs {worst} rows, table has {rows_p}); "
+                    f"rebuild with build_subst_tables(pad>="
+                    f"{worst - rows_p + 8192})")
+        return off
 
 
 def build_subst_tables(genome: Genome, model: KmerModel,

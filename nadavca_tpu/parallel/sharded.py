@@ -140,8 +140,7 @@ def make_sharded_step(
     def step(staged, wstart, wlen, strand, acc, cov, votes):
         a = {k2: staged.get(k2) for k2 in
              ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta", "mu_b",
-              "sg_b", "codes", "ids", "lm", "ls", "woff", "ttab",
-              "tiv", "tva")}
+              "sg_b", "codes", "ids", "lm", "ls", "woff", "ttab", "tva")}
         score, path, base_ll = pipelinemod.device_compute(
             a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
             a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
@@ -212,8 +211,7 @@ def make_sharded_align(
     def step(staged):
         a = {k2: staged.get(k2) for k2 in
              ("x", "t_len", "mu", "sigma", "n_ref", "lo", "delta", "mu_b",
-              "sg_b", "codes", "ids", "lm", "ls", "woff", "ttab",
-              "tiv", "tva")}
+              "sg_b", "codes", "ids", "lm", "ls", "woff", "ttab", "tva")}
         return pipelinemod.device_compute(
             a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
             a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],

@@ -329,12 +329,12 @@ def device_compute(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "backend", "k", "interpret", "with_stats"),
+    static_argnames=("cfg", "backend", "k", "interpret"),
 )
 def _device_step(
     x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
     lm, ls, woff, ttab, tva,
-    cfg: AlignConfig, backend: str, k: int, interpret: bool, with_stats: bool,
+    cfg: AlignConfig, backend: str, k: int, interpret: bool,
 ):
     """The whole per-batch device program as ONE jitted function.
 
@@ -342,15 +342,11 @@ def _device_step(
     through the axon tunnel (every op is a remote round trip); fused under
     one jit it is the same ~30 ms program bench.py runs.
     """
-    score, path, base_ll = device_compute(
+    return device_compute(
         x, t_len, mu, sigma, n_ref, lo, delta, mu_b, sg_b, codes, ids,
         lm, ls, woff, ttab, tva,
         cfg=cfg, backend=backend, k=k, interpret=interpret,
     )
-    stats = None
-    if with_stats:
-        stats = banded_dp.segment_stats_batch(path, x, t_len, mu.shape[1])
-    return score, path, stats, base_ll
 
 
 def resolve_backend(cfg: AlignConfig, backend: str = "auto") -> str:
@@ -383,6 +379,7 @@ def stage_batch(batch: Batch, model: KmerModel, cfg: AlignConfig,
     if subst is not None and backend == "pallas" and cfg.snp_rescore == "local":
         woff = jnp.asarray(subst.window_offsets(
             batch.contigs, batch.window_start, batch.window_len, batch.strand,
+            padded_len=batch.codes.shape[1],
         ))
         ttab, tva = subst.tab4, subst.valid
 
@@ -407,27 +404,25 @@ def align_batch(
     subst=None,  # ops.subst_tables.SubstTables — genome-level rescore tables
     staged: Optional[dict] = None,
 ):
-    """Run the device part on one batch: DP + stats + base log-likelihoods.
+    """Run the device part on one batch: DP + base log-likelihoods.
 
     backend: "auto" (pallas on TPU, scan otherwise), "pallas", "scan".
     Pass ``staged`` (from :func:`stage_batch`, e.g. computed in a prefetch
     thread) to skip the in-line host prep + upload. Returns dict of device
-    arrays: score (R,), path (R, T), stats (R, N, 3), base_loglik (R, L, 4).
+    arrays: score (R,), path (R, T), base_loglik (R, L, 4).
     """
     a = staged if staged is not None else stage_batch(
         batch, model, cfg, backend, subst=subst)
     backend = a["backend"]
     k = a["k"]
-    score, path, stats, base_ll = _device_step(
+    score, path, base_ll = _device_step(
         a["x"], a["t_len"], a["mu"], a["sigma"], a["n_ref"], a["lo"],
         a["delta"], a["mu_b"], a["sg_b"], a["codes"], a["ids"], a["lm"],
         a["ls"], a["woff"], a["ttab"], a["tva"],
         cfg=cfg, backend=backend, k=k, interpret=interpret,
-        with_stats=False,
     )
     return {
         "score": score,
         "path": path,
-        "stats": stats,
         "base_loglik": base_ll,
     }

@@ -75,13 +75,13 @@ def run_config(name, cfg, records, model, subst, backend, interpret,
     with ctx:
         staged = stage_batch(batch, model, cfg, backend, subst=subst)
         t0 = time.time()
-        score, path, _, base_ll = _device_step(
+        score, path, base_ll = _device_step(
             staged["x"], staged["t_len"], staged["mu"], staged["sigma"],
             staged["n_ref"], staged["lo"], staged["delta"], staged["mu_b"],
             staged["sg_b"], staged["codes"], staged["ids"], staged["lm"],
             staged["ls"], staged["woff"], staged["ttab"], staged["tva"],
             cfg=cfg, backend=staged["backend"], k=staged["k"],
-            interpret=interpret, with_stats=False,
+            interpret=interpret,
         )
         out = (np.asarray(score), np.asarray(path), np.asarray(base_ll))
     dt = time.time() - t0

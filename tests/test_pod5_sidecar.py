@@ -154,3 +154,32 @@ def test_sidecar_sam_mv_tag(tmp_path):
     bc, mv = sc["read1"]
     assert bc == "ACG"
     np.testing.assert_array_equal(mv, [10, 20, 25])
+
+
+def test_sidecar_sam_flag_handling(tmp_path):
+    """FLAG semantics (ADVICE r3): secondary/supplementary records are
+    skipped (never overwriting the primary), reverse-strand SEQ is restored
+    to signal orientation, and hard-clip length mismatches skip the record
+    instead of aborting the load."""
+    from nadavca_tpu.io.sidecar import load_sidecar_basecalls
+
+    sam = tmp_path / "calls.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\n"
+        # primary forward record
+        "read1\t0\tc\t1\t60\t3M\t*\t0\t0\tACG\t!!!\tmv:B:c,5,1,0,1,1\n"
+        # secondary for the same read: must NOT overwrite the primary
+        "read1\t256\tc\t9\t0\t3M\t*\t0\t0\tTTT\t!!!\tmv:B:c,5,1,1,1,0\n"
+        # supplementary, hard-clipped partial SEQ: skipped
+        "read2\t2048\tc\t1\t60\t1M2H\t*\t0\t0\tA\t!\tmv:B:c,5,1,0,1,1\n"
+        # reverse-strand mapped: SEQ is revcomp'd back to signal orientation
+        "read3\t16\tc\t1\t60\t3M\t*\t0\t0\tACG\t!!!\tmv:B:c,5,1,0,1,1\n"
+        # primary with a move/SEQ length mismatch (e.g. hard clip): skipped
+        "read4\t0\tc\t1\t60\t2M1H\t*\t0\t0\tAC\t!!\tmv:B:c,5,1,0,1,1\n"
+    )
+    sc = load_sidecar_basecalls(str(sam))
+    assert set(sc) == {"read1", "read3"}
+    assert sc["read1"][0] == "ACG"
+    np.testing.assert_array_equal(sc["read1"][1], [0, 10, 15])
+    assert sc["read3"][0] == "CGT"  # revcomp("ACG")
+    np.testing.assert_array_equal(sc["read3"][1], [0, 10, 15])
