@@ -45,6 +45,31 @@ def _iter_batches(records, batch_reads):
         yield records[i : i + batch_reads]
 
 
+def _stream_groups(records, batch_reads, cfg):
+    """Group a STREAM of records into length-bucketed batches on the fly.
+
+    The materialized path sorts all records globally before splitting; a
+    stream can't sort, so each record lands in the bin of its padded signal
+    length (the same bucket edges assemble_batch pads to) and a full bin
+    becomes a batch immediately. End-of-stream flushes the partial bins.
+    Padding waste stays low by construction — every group shares one bucket
+    edge — while ingest/prep of later reads overlaps device compute of
+    earlier ones (VERDICT r3 task 1: the streamed pipeline).
+    """
+    from .pipeline import _bucket
+
+    bins = {}
+    for rec in records:
+        t = len(rec.signal)
+        key = (_bucket(t, cfg.bucket_edges),
+               t > cfg.adaptive_band_threshold)
+        bins.setdefault(key, []).append(rec)
+        if len(bins[key]) >= batch_reads:
+            yield bins.pop(key)
+    for key in sorted(bins):
+        yield bins[key]
+
+
 def _prefetched(groups, prepare, depth=2):
     """Assemble upcoming batches in a background thread (SURVEY §2.2 PP row:
     the host pipeline overlaps ingest/assembly with device compute)."""
@@ -101,9 +126,11 @@ def _init_distributed(args):
     return jax.process_count() > 1, jax.process_index(), jax.process_count()
 
 
-def _iter_raw_reads(directory, shard=None):
+def _iter_raw_reads(directory, shard=None, skip_ids=None, skipped=None):
     """Stream raw reads; with shard=(pid, n) only every n-th FILE (round-
-    robin by sorted index) is read — the multi-host shared-nothing ingest."""
+    robin by sorted index) is read — the multi-host shared-nothing ingest.
+    ``skip_ids`` (resume manifest) filters by read id BEFORE the signal is
+    loaded from disk; ``skipped`` is a 1-element counter list."""
     paths = []
     for root, _dirs, files in sorted(os.walk(directory)):
         for fn in sorted(files):
@@ -113,20 +140,32 @@ def _iter_raw_reads(directory, shard=None):
         pid, n = shard
         paths = [p for i, p in enumerate(paths) if i % n == pid]
     for p in paths:
-        yield from fast5mod.read_fast5(p)
+        yield from fast5mod.read_fast5(p, skip_ids=skip_ids, skipped=skipped)
     from .io import pod5 as pod5mod
 
     if pod5mod.HAVE_POD5:
         # pod5 inputs are sharded by the same round-robin rule
-        yield from pod5mod.iter_pod5_dir(directory, shard=shard)
+        for raw in pod5mod.iter_pod5_dir(directory, shard=shard):
+            if skip_ids and raw.read_id in skip_ids:
+                if skipped is not None:
+                    skipped[0] += 1
+                continue
+            yield raw
 
 
-def _preprocess_all(args, cfg, genome, metrics, model=None,
+def _stream_records(args, cfg, genome, metrics, model=None,
                     skip_ids=None, shard=None):
-    """Ingest + anchor all reads; per-read work fans out over a thread pool
-    (the reference's only parallelism was a multiprocessing pool over reads —
-    SURVEY.md "Per-read parallelism" row; here host threads feed the device).
-    Prep runs on the native C++ engine when available (--prep)."""
+    """Generator of prepped ReadRecords, produced with bounded lookahead.
+
+    Ingest (lazy, resume-manifest-aware) + per-read prep (native C++ engine,
+    GIL-free, fanned over --workers threads — the reference's only
+    parallelism was a multiprocessing pool over reads, SURVEY.md "Per-read
+    parallelism" row) run as a PRODUCER: records are yielded as they finish
+    while later reads are still being read from disk, so the device loop
+    downstream overlaps host ingest with device compute instead of waiting
+    for the whole corpus to preprocess (VERDICT r3 weakness #1).
+    """
+    import collections
     from concurrent.futures import ThreadPoolExecutor
 
     from .pipeline import make_preprocessor
@@ -136,27 +175,52 @@ def _preprocess_all(args, cfg, genome, metrics, model=None,
     work = make_preprocessor(genome, cfg, model=model,
                              mode=getattr(args, "prep", "auto"))
 
-    raws = _iter_raw_reads(args.fast5_dir, shard=shard)
+    skipped = [0]
+    raws = _iter_raw_reads(args.fast5_dir, shard=shard,
+                           skip_ids=skip_ids, skipped=skipped)
     if getattr(args, "basecalls", None):
         # sidecar basecall source (pod5 stores raw signal only): join
         # basecall + move table onto signal-only reads by read_id
         from .io.sidecar import join_basecalls, load_sidecar_basecalls
 
         raws = join_basecalls(raws, load_sidecar_basecalls(args.basecalls))
-    raws = [r for r in raws if r.read_id not in skip_ids]
-    metrics.count("reads_resumed_skip", 0)
-    if skip_ids:
-        metrics.count("reads_resumed_skip",
-                      sum(1 for _ in skip_ids))
-    if workers > 1:
+    n_in = n_ok = 0
+    try:
         with ThreadPoolExecutor(workers) as pool:
-            results = list(pool.map(work, raws))
-    else:
-        results = [work(r) for r in raws]
-    records = [r for r in results if r is not None]
-    metrics.count("reads_ingested", len(records))
-    metrics.count("reads_skipped", len(results) - len(records))
-    return records
+            inflight = collections.deque()
+
+            def drain_one():
+                nonlocal n_in, n_ok
+                rec = inflight.popleft().result()
+                n_in += 1
+                if rec is not None:
+                    n_ok += 1
+                return rec
+
+            for raw in raws:
+                inflight.append(pool.submit(work, raw))
+                # lookahead bound: keeps every worker busy without
+                # materializing the corpus when the consumer lags
+                while len(inflight) >= workers * 8:
+                    rec = drain_one()
+                    if rec is not None:
+                        yield rec
+            while inflight:
+                rec = drain_one()
+                if rec is not None:
+                    yield rec
+    finally:
+        metrics.count("reads_resumed_skip", skipped[0])
+        metrics.count("reads_ingested", n_ok)
+        metrics.count("reads_skipped", n_in - n_ok)
+
+
+def _preprocess_all(args, cfg, genome, metrics, model=None,
+                    skip_ids=None, shard=None):
+    """Materialized prep — the multi-host path needs every record up front
+    to agree on global batch shapes before any collective runs."""
+    return list(_stream_records(args, cfg, genome, metrics, model=model,
+                                skip_ids=skip_ids, shard=shard))
 
 
 def _maybe_subst_tables(args, genome, model):
@@ -173,6 +237,18 @@ def _maybe_subst_tables(args, genome, model):
     return build_subst_tables(genome, model)
 
 
+def _interpret_for(backend: str) -> bool:
+    """Pallas off-TPU runs in interpret mode (tests, CPU multihost demos) —
+    same program shape as the production kernels, executed by the
+    interpreter, so the CLI's pallas path is drivable without a chip."""
+    import jax
+
+    from .pipeline import resolve_backend
+
+    return (resolve_backend(DEFAULT_CONFIG, backend) == "pallas"
+            and jax.default_backend() != "tpu")
+
+
 def _parse_devices(args) -> int:
     import jax
 
@@ -186,6 +262,11 @@ def _parse_devices(args) -> int:
 
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
+
+
+def _ckpt_shard_path(path: str, pid: int) -> str:
+    """Process 0 owns the accumulator file; others keep manifest shards."""
+    return path if pid == 0 else f"{path}.p{pid}"
 
 
 def _staged_inputs(staged: dict) -> dict:
@@ -208,11 +289,20 @@ def cmd_align(args) -> int:
     # devices and writes its own per-read outputs (no process group needed)
     shard = None
     if getattr(args, "num_processes", None) and args.num_processes > 1:
-        shard = (args.process_id or 0, args.num_processes)
-    records = _preprocess_all(args, cfg, genome, metrics, model=model,
+        if args.process_id is None:
+            raise SystemExit(
+                "--num-processes > 1 requires --process-id: without it every "
+                "process would silently run shard 0 (duplicate outputs, the "
+                "other shards never aligned)")
+        if not 0 <= args.process_id < args.num_processes:
+            raise SystemExit(
+                f"--process-id {args.process_id} out of range "
+                f"[0, {args.num_processes})")
+        shard = (args.process_id, args.num_processes)
+    t0 = time.time()  # end-to-end clock: ingest runs INSIDE the loop below
+    records = _stream_records(args, cfg, genome, metrics, model=model,
                               shard=shard)
     subst = _maybe_subst_tables(args, genome, model)
-    t0 = time.time()
     n_done = 0
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
@@ -228,12 +318,14 @@ def cmd_align(args) -> int:
     def _run_batch(gcfg, batch, staged):
         if mesh is None:
             return align_batch(batch, model, gcfg, backend=args.backend,
-                               subst=subst, staged=staged)
+                               subst=subst, staged=staged,
+                               interpret=_interpret_for(args.backend))
         key = (gcfg, staged["backend"], staged["mu_b"] is not None,
                staged["ttab"] is not None)
         if key not in align_steps:
             align_steps[key] = sharded.make_sharded_align(
                 mesh, gcfg, backend=staged["backend"], k=staged["k"],
+                interpret=_interpret_for(args.backend),
                 use_bands=staged["mu_b"] is not None,
                 use_tables=staged["ttab"] is not None,
             )
@@ -262,9 +354,11 @@ def cmd_align(args) -> int:
         metrics.count("reads_aligned", batch.n_reads)
 
     # lagged drain: batch N's path fetch + file writes overlap the device
-    # compute of batch N+1 (already dispatched) instead of serializing
+    # compute of batch N+1 (already dispatched) instead of serializing.
+    # _prefetched's worker thread pulls from the streamed groups, so file
+    # ingest + prep of later reads also overlap this loop's device work.
     for group, gcfg, batch, staged in _prefetched(
-            _iter_batches(records, args.batch_reads), _prep):
+            _stream_groups(records, args.batch_reads, cfg), _prep):
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
         out = _run_batch(gcfg, batch, staged)
@@ -274,7 +368,8 @@ def cmd_align(args) -> int:
     while pending:
         _drain_one()
     dt = time.time() - t0
-    metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
+    # ingest→outputs wall including every host stage (the honest number)
+    metrics.gauge("reads_per_s_e2e", n_done / dt if dt > 0 else 0.0)
     metrics.report(sys.stderr)
     print(f"aligned {n_done} reads -> {args.output}", file=sys.stderr)
     return 0
@@ -282,13 +377,22 @@ def cmd_align(args) -> int:
 
 def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
                        contig_off, Gp, genome_sharded, acc, cov, votes,
-                       metrics):
+                       metrics, done_ids=None, save_ckpt=None):
     """Config-5 batch loop (BASELINE.json config 5): every process runs this
     with its own shard of the reads. Shapes are agreed globally up front so
     all processes compile the identical program, dispatch is synchronous
     (cross-process collective order must match — no prefetch thread), and
     the psum/psum_scatter merge rides the mesh (ICI in-slice, DCN across
-    hosts)."""
+    hosts).
+
+    Known divergence (ADVICE r3): the adaptive band is chosen once from the
+    GLOBAL max signal length (all processes must compile the same program),
+    while the single-host path picks it per length bucket — on mixed-length
+    datasets a short read may run with band_width_long here and the narrow
+    band there, so multihost and single-host VCFs can differ at band-edge
+    margin cases. Homogeneous-length runs (and any run where every bucket
+    picks the same band) are byte-identical, which the multihost tests
+    assert."""
     import dataclasses as _dc
 
     import jax
@@ -337,6 +441,7 @@ def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
             step = sharded.make_sharded_step(
                 mesh, gcfg, Gp, backend=staged["backend"], k=staged["k"],
                 genome_sharded=genome_sharded,
+                interpret=_interpret_for(args.backend),
                 use_bands=staged["mu_b"] is not None,
                 use_tables=staged["ttab"] is not None,
                 with_path=False,
@@ -345,7 +450,16 @@ def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
                                       extra["strand"], acc, cov, votes)
         np.asarray(score.addressable_shards[0].data)  # local pacing sync
         n_done += batch.n_reads
+        if done_ids is not None:
+            done_ids.update(batch.read_ids[:batch.n_reads])
         metrics.count("reads_called", batch.n_reads)
+        # nb_g is global, so every process reaches this save at the same
+        # batch index — the barrier inside save_ckpt lines up
+        if save_ckpt is not None and (bi + 1) % args.checkpoint_every == 0 \
+                and bi + 1 < nb_g:
+            save_ckpt(acc, cov, votes, bi + 1, done_ids)
+    if save_ckpt is not None:
+        save_ckpt(acc, cov, votes, nb_g, done_ids)
     return n_done, acc, cov, votes
 
 
@@ -358,13 +472,12 @@ def cmd_snp(args) -> int:
     from .parallel import sharded
     from .utils.checkpoint import load_checkpoint, save_checkpoint
 
+    t_e2e = time.time()  # end-to-end clock: genome load → ingest → VCF
     cfg = _load_cfg(args)
     model = _load_model(args, cfg)
     genome = Genome.from_fasta(args.reference)
     metrics = Metrics()
     if multihost:
-        if args.checkpoint:
-            raise SystemExit("--checkpoint is not supported with --coordinator")
         n_dev = len(jax.devices())   # the global mesh spans every process
     else:
         n_dev = _parse_devices(args)
@@ -389,14 +502,46 @@ def cmd_snp(args) -> int:
 
     # resume from checkpoint if present
     ckpt_accs, done_ids = ({}, set())
-    if args.checkpoint:
+    if args.checkpoint and multihost:
+        # multi-host layout (VERDICT r3 task 4): process 0's file carries the
+        # GLOBAL accumulators (post-psum state, identical on every process)
+        # plus process 0's manifest; process i>0 keeps a manifest-only file
+        # at <path>.p<i> (file sharding is deterministic, so the same reads
+        # land on the same process across runs). Requires a shared (or
+        # per-host-consistent) filesystem and the same --num-processes.
+        ckpt_accs, m0, meta0 = load_checkpoint(args.checkpoint, with_meta=True)
+        if pid == 0:
+            done_ids, my_meta = m0, meta0
+        else:
+            _, done_ids, my_meta = load_checkpoint(
+                _ckpt_shard_path(args.checkpoint, pid), with_meta=True)
+        if ckpt_accs or done_ids:
+            if (meta0.get("num_processes") != nproc
+                    or my_meta.get("num_processes") != nproc):
+                raise SystemExit(
+                    f"checkpoint was written by num_processes="
+                    f"{meta0.get('num_processes')} but this run has {nproc}; "
+                    "file sharding would mismatch — restart without resume")
+            if my_meta.get("n_batches") != meta0.get("n_batches"):
+                raise SystemExit(
+                    f"checkpoint shard files disagree (process 0 at batch "
+                    f"{meta0.get('n_batches')}, process {pid} at "
+                    f"{my_meta.get('n_batches')}): the job died mid-save — "
+                    "restart without resume")
+    elif args.checkpoint:
         ckpt_accs, done_ids = load_checkpoint(args.checkpoint)
-        if done_ids:
-            print(f"resuming: {len(done_ids)} reads already merged",
-                  file=sys.stderr)
-    records = _preprocess_all(args, cfg, genome, metrics, model=model,
-                              skip_ids=done_ids,
-                              shard=(pid, nproc) if multihost else None)
+    if done_ids:
+        print(f"resuming: {len(done_ids)} reads already merged "
+              f"(process {pid})", file=sys.stderr)
+    if multihost:
+        # multi-host needs every record up front: global batch shapes are
+        # agreed across processes before the first collective
+        records = _preprocess_all(args, cfg, genome, metrics, model=model,
+                                  skip_ids=done_ids, shard=(pid, nproc))
+    else:
+        # streamed: ingest/prep overlap the device loop below
+        records = _stream_records(args, cfg, genome, metrics, model=model,
+                                  skip_ids=done_ids)
 
     acc, cov, votes = sharded.make_accumulators_sharded(
         mesh, cfg, Gp, genome_sharded)
@@ -414,22 +559,52 @@ def cmd_snp(args) -> int:
                     v_np[coff:coff + l] = ck[2]
         spec = P(cfg.data_axis) if genome_sharded else P()
         sh = NamedSharding(mesh, spec)
-        acc = jax.device_put(jnp.asarray(a_np), sh)
-        cov = jax.device_put(jnp.asarray(c_np), sh)
-        votes = jax.device_put(jnp.asarray(v_np), sh)
+        # make_array_from_callback works on a multi-host mesh too (each
+        # process materializes only its addressable shards; the restored
+        # host value is identical on every process)
+        acc, cov, votes = (
+            jax.make_array_from_callback(a.shape, sh, lambda idx, a=a: a[idx])
+            for a in (jnp.asarray(a_np), jnp.asarray(c_np), jnp.asarray(v_np)))
+
+    def _accs_by_contig(a_np, c_np, v_np):
+        return {cname: (a_np[coff:coff + len(genome[cname])],
+                        c_np[coff:coff + len(genome[cname])],
+                        v_np[coff:coff + len(genome[cname])])
+                for cname, coff in contig_off.items()}
 
     def save_ckpt():
         if args.checkpoint:
             a_np, c_np, v_np = (np.asarray(acc), np.asarray(cov),
                                 np.asarray(votes))
-            save_checkpoint(
-                args.checkpoint,
-                {cname: (a_np[coff:coff + len(genome[cname])],
-                         c_np[coff:coff + len(genome[cname])],
-                         v_np[coff:coff + len(genome[cname])])
-                 for cname, coff in contig_off.items()},
-                done_ids,
-            )
+            save_checkpoint(args.checkpoint,
+                            _accs_by_contig(a_np, c_np, v_np), done_ids)
+
+    def save_ckpt_mh(acc, cov, votes, n_batches, done_ids):
+        """Multi-host checkpoint protocol: manifests first, then a barrier,
+        then process 0 writes the global accumulators — so the accumulator
+        file only ever advances once every manifest for that batch is on
+        disk (a crash mid-save can lose a window's contributions but never
+        double-counts a read on resume)."""
+        if not args.checkpoint:
+            return
+        from jax.experimental import multihost_utils
+
+        from .parallel import distributed as dist
+
+        meta = {"n_batches": int(n_batches), "num_processes": int(nproc)}
+        if pid != 0:
+            save_checkpoint(_ckpt_shard_path(args.checkpoint, pid), {},
+                            done_ids, meta=meta)
+        multihost_utils.sync_global_devices(f"ckpt_manifests_{n_batches}")
+        # the fetch is collective for genome-sharded accumulators — every
+        # process participates even though only process 0 writes
+        a_np = np.asarray(dist.fetch_replicated(acc))
+        c_np = np.asarray(dist.fetch_replicated(cov))
+        v_np = np.asarray(dist.fetch_replicated(votes))
+        if pid == 0:
+            save_checkpoint(args.checkpoint,
+                            _accs_by_contig(a_np, c_np, v_np), done_ids,
+                            meta=meta)
 
     subst = _maybe_subst_tables(args, genome, model)
     t0 = time.time()
@@ -441,9 +616,13 @@ def cmd_snp(args) -> int:
 
         n_done, acc, cov, votes = _run_snp_multihost(
             args, cfg, model, genome, subst, mesh, records, contig_off, Gp,
-            genome_sharded, acc, cov, votes, metrics)
+            genome_sharded, acc, cov, votes, metrics,
+            done_ids=done_ids,
+            save_ckpt=save_ckpt_mh if args.checkpoint else None)
         dt = time.time() - t0
         metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
+        dt_e2e = time.time() - t_e2e
+        metrics.gauge("reads_per_s_e2e", n_done / dt_e2e if dt_e2e > 0 else 0.0)
         a_np = np.asarray(dist.fetch_replicated(acc))
         c_np = np.asarray(dist.fetch_replicated(cov))
         v_np = np.asarray(dist.fetch_replicated(votes))
@@ -489,6 +668,7 @@ def cmd_snp(args) -> int:
             steps[key] = sharded.make_sharded_step(
                 mesh, gcfg, Gp, backend=staged["backend"], k=staged["k"],
                 genome_sharded=genome_sharded,
+                interpret=_interpret_for(args.backend),
                 use_bands=staged["mu_b"] is not None,
                 use_tables=staged["ttab"] is not None,
                 with_path=False,
@@ -510,7 +690,7 @@ def cmd_snp(args) -> int:
     # the main CLI-vs-device throughput gap). Depth 2 bounds device queueing.
     pending = collections.deque()
     for group, gcfg, batch, staged, extra in _prefetched(
-            _iter_batches(records, args.batch_reads), _prep):
+            _stream_groups(records, args.batch_reads, cfg), _prep):
         waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
         metrics.gauge("padding_waste", waste)
         shape_key = (batch.shapes, gcfg.band_width)
@@ -566,6 +746,11 @@ def cmd_snp(args) -> int:
     callmod.write_vcf(args.output, all_calls)
     dt = time.time() - t0
     metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
+    dt_e2e = time.time() - t_e2e
+    # the honest number: genome load + ingest + prep + device + VCF, one
+    # clock (VERDICT r3 task 1) — ingest overlaps the device loop via the
+    # streamed producer, but nothing is excluded from this wall
+    metrics.gauge("reads_per_s_e2e", n_done / dt_e2e if dt_e2e > 0 else 0.0)
     if steady_secs > 0:
         # throughput once each bucket shape is compiled — the number that
         # scales with more reads (first-batch wall is remote-compile noise)

@@ -22,11 +22,19 @@ def save_checkpoint(
     path: str,
     accs: Dict[str, Tuple[np.ndarray, np.ndarray]],
     processed_read_ids: Iterable[str],
+    meta: Dict[str, int] = None,
 ) -> None:
-    """Atomically persist accumulators + manifest to ``path`` (.npz)."""
+    """Atomically persist accumulators + manifest to ``path`` (.npz).
+
+    ``meta`` (int-valued) rides along under ``_meta``; the multi-host
+    protocol stores the batch counter there to validate that the per-process
+    manifest files and process 0's accumulator file describe the same point
+    of the run (utils.checkpoint.load_checkpoint returns it).
+    """
     payload = {}
     names = sorted(accs)
     payload["_contigs"] = np.asarray(json.dumps(names))
+    payload["_meta"] = np.asarray(json.dumps(meta or {}))
     for name in names:
         arrs = accs[name]  # (acc, cov[, votes])
         payload[f"acc_{name}"] = np.asarray(arrs[0])
@@ -48,12 +56,14 @@ def save_checkpoint(
             os.unlink(tmp)
 
 
-def load_checkpoint(path: str):
-    """Returns (accs dict, processed_read_ids set); empty if file is absent."""
+def load_checkpoint(path: str, with_meta: bool = False):
+    """Returns (accs dict, processed_read_ids set[, meta dict]);
+    empty if file is absent."""
     if not os.path.exists(path):
-        return {}, set()
+        return ({}, set(), {}) if with_meta else ({}, set())
     with np.load(path, allow_pickle=False) as z:
         names = json.loads(str(z["_contigs"]))
+        meta = json.loads(str(z["_meta"])) if "_meta" in z else {}
         accs = {}
         for n in names:
             arrs = [z[f"acc_{n}"].copy(), z[f"cov_{n}"].copy()]
@@ -61,4 +71,6 @@ def load_checkpoint(path: str):
                 arrs.append(z[f"votes_{n}"].copy())
             accs[n] = tuple(arrs)
         manifest: Set[str] = set(str(x) for x in z["_manifest"])
+    if with_meta:
+        return accs, manifest, meta
     return accs, manifest

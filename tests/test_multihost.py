@@ -84,3 +84,102 @@ def test_multihost_cli_vcf_identical(tmp_path):
     assert mh_body == ref_body, (mh_body, ref_body)
     # at least one real call so the equality is not vacuous
     assert sum(1 for l in mh_body if not l.startswith("#")) >= 1
+
+
+def test_multihost_cli_pallas_uneven_n3(tmp_path):
+    """Production configuration through the CLI multihost loop (VERDICT r3
+    task 5): pallas backend (interpret off-TPU) + genome-sharded
+    accumulators, 3 processes with UNEVEN shards — the all-padding-batch
+    path runs for real — asserting the byte-identical VCF of a
+    single-process run."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["PYTHONPATH"] = repo
+    data = tmp_path / "data"
+    # 5 files over 3 processes -> shards of 2/2/1 files; batch-reads 8 over
+    # 10 reads per shard-of-2 vs 5 reads on the short shard -> the short
+    # process contributes all-padding batches in the agreed final rounds
+    sim = _run_cli(["simulate", "-o", str(data), "--reads", "25",
+                    "--read-length", "400", "--genome-length", "2500",
+                    "--snps", "3", "--seed", "11", "--files", "5"], base_env)
+    assert sim.returncode == 0, sim.stdout + sim.stderr
+
+    ref_vcf = tmp_path / "ref.vcf"
+    env1 = dict(base_env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    r = _run_cli(["snp", str(data / "reference.fasta"), str(data),
+                  "-o", str(ref_vcf), "--backend", "pallas",
+                  "--batch-reads", "8", "--genome-sharded", "off"], env1)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out_vcf = tmp_path / "mh.vcf"
+    env2 = dict(base_env)
+    env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "nadavca_tpu.cli", "snp",
+             str(data / "reference.fasta"), str(data), "-o", str(out_vcf),
+             "--backend", "pallas", "--batch-reads", "8",
+             "--genome-sharded", "on",
+             "--coordinator", "127.0.0.1:9437",
+             "--num-processes", "3", "--process-id", str(i)],
+            env=env2, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for i in range(3)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    ref_body = [l for l in ref_vcf.read_text().splitlines()
+                if not l.startswith("##")]
+    mh_body = [l for l in out_vcf.read_text().splitlines()
+               if not l.startswith("##")]
+    assert mh_body == ref_body, (mh_body, ref_body)
+    assert sum(1 for l in mh_body if not l.startswith("#")) >= 1
+
+
+def test_multihost_cli_checkpoint_resume(tmp_path):
+    """Multi-host checkpoint/resume (VERDICT r3 task 4): a 2-process run
+    writes per-process manifest shards + process-0 accumulators; rerunning
+    with the same checkpoint skips every read and reproduces the VCF."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["PYTHONPATH"] = repo
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    data = tmp_path / "data"
+    sim = _run_cli(["simulate", "-o", str(data), "--reads", "16",
+                    "--read-length", "300", "--genome-length", "1500",
+                    "--snps", "2", "--seed", "13", "--files", "4"], base_env)
+    assert sim.returncode == 0, sim.stdout + sim.stderr
+    ckpt = tmp_path / "state.npz"
+
+    def run_pair(out_name, port):
+        out_vcf = tmp_path / out_name
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "nadavca_tpu.cli", "snp",
+                 str(data / "reference.fasta"), str(data), "-o",
+                 str(out_vcf), "--backend", "scan", "--batch-reads", "4",
+                 "--checkpoint", str(ckpt), "--checkpoint-every", "1",
+                 "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", "2", "--process-id", str(i)],
+                env=base_env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True)
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=540) for p in procs]
+        assert all(p.returncode == 0 for p in procs), outs
+        return out_vcf, outs
+
+    v1, _ = run_pair("run1.vcf", 9441)
+    assert ckpt.exists() and (tmp_path / "state.npz.p1").exists()
+    v2, outs2 = run_pair("run2.vcf", 9443)
+    # every read skipped on resume, VCF reproduced from restored accumulators
+    assert "resuming:" in outs2[0][1] + outs2[1][1], outs2
+    body = lambda p: [l for l in p.read_text().splitlines()
+                      if not l.startswith("##")]
+    assert body(v2) == body(v1)
+    assert sum(1 for l in body(v1) if not l.startswith("#")) >= 1
