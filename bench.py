@@ -31,10 +31,10 @@ def build_workload(seed=0):
     from nadavca_tpu.kmer_model import default_model
     from nadavca_tpu.sched import build_chunked_bands
 
-    # read_tile=128: 16 independent DP chains per kernel instance — measured
-    # 75 Gcells/s vs 38 at the default 32 (BASELINE.md); fine here because the
-    # bench batch is large
-    cfg = AlignConfig(read_tile=128)
+    # read_tile=256: widest measured tile — 91 Gcells/s vs 75 at 128 and 38
+    # at the default 32 (BASELINE.md 2026-08-21 ablation); fine here because
+    # the bench batch is large
+    cfg = AlignConfig(read_tile=256)
     rng = np.random.default_rng(seed)
     model = default_model()
     genome = random_genome(rng, length=5000)

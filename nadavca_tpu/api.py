@@ -231,6 +231,25 @@ def call_snps(
                 votes=votes, cfg=cfg,
             )
     calls: List[callmod.SnpCall] = []
+    if cfg.snp_joint_rescore:
+        # records are still in memory here, so the joint pass needs no
+        # re-ingest — it re-scores candidate clusters directly
+        from . import joint
+
+        records_by_id = {r.read_id: r for r in records}
+        metas_by_contig: dict = {}
+        for r in records:
+            metas_by_contig.setdefault(r.anchor.contig, []).append(
+                joint.ReadMeta(r.read_id, r.anchor.contig,
+                               int(r.anchor.ref_start),
+                               len(r.window_codes), int(r.anchor.strand)))
+        for cname, (acc, cov, votes) in accs.items():
+            calls.extend(joint.refine_contig_calls(
+                np.asarray(acc), np.asarray(cov), np.asarray(votes),
+                genome[cname].codes, cname, cfg, model,
+                metas_by_contig.get(cname, []), records_by_id,
+                min_coverage=min_coverage))
+        return calls
     for cname, (acc, cov, votes) in accs.items():
         calls.extend(
             callmod.call_snps(

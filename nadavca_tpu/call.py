@@ -132,6 +132,32 @@ class SnpCall:
     coverage: int
 
 
+def candidate_hits(
+    acc: np.ndarray,
+    cov: np.ndarray,
+    ref_codes: np.ndarray,
+    cfg: AlignConfig = AlignConfig(),
+    min_coverage: int = 1,
+    votes: Optional[np.ndarray] = None,
+):
+    """Pre-prune candidate positions: (hit mask, best base, posterior).
+
+    The filter stack of :func:`call_snps` WITHOUT cluster pruning — the
+    joint-rescore pass (nadavca_tpu.joint) uses these as cluster seeds, so
+    a true SNP suppressed by a stronger shifted neighbor is still in play.
+    """
+    post = np.asarray(posteriors(jnp.asarray(acc), cfg.snp_prior))
+    cov = np.asarray(cov)
+    best = post.argmax(axis=1)
+    pbest = post.max(axis=1)
+    ref = np.asarray(ref_codes)
+    hit = (best != ref) & (pbest >= cfg.snp_threshold) & (cov >= min_coverage) & (ref < 4)
+    if votes is not None:
+        v = np.take_along_axis(np.asarray(votes), best[:, None], axis=1)[:, 0]
+        hit &= v >= cfg.snp_min_alt_votes
+    return hit, best, pbest
+
+
 def call_snps(
     acc: np.ndarray,
     cov: np.ndarray,
@@ -149,15 +175,10 @@ def call_snps(
     within any window of k-1 bases (neighbors of a true SNP share perturbed
     k-mers and would otherwise bleed into spurious calls).
     """
-    post = np.asarray(posteriors(jnp.asarray(acc), cfg.snp_prior))
+    hit, best, pbest = candidate_hits(acc, cov, ref_codes, cfg,
+                                      min_coverage=min_coverage, votes=votes)
     cov = np.asarray(cov)
-    best = post.argmax(axis=1)
-    pbest = post.max(axis=1)
     ref = np.asarray(ref_codes)
-    hit = (best != ref) & (pbest >= cfg.snp_threshold) & (cov >= min_coverage) & (ref < 4)
-    if votes is not None:
-        v = np.take_along_axis(np.asarray(votes), best[:, None], axis=1)[:, 0]
-        hit &= v >= cfg.snp_min_alt_votes
     calls = []
     bases = "ACGT"
     acc_np = np.asarray(acc)

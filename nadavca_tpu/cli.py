@@ -17,6 +17,7 @@ from typing import List
 import numpy as np
 
 from . import call as callmod
+from . import joint
 from .config import AlignConfig, DEFAULT_CONFIG
 from .genome import Genome
 from .io import fast5 as fast5mod
@@ -126,11 +127,13 @@ def _init_distributed(args):
     return jax.process_count() > 1, jax.process_index(), jax.process_count()
 
 
-def _iter_raw_reads(directory, shard=None, skip_ids=None, skipped=None):
+def _iter_raw_reads(directory, shard=None, skip_ids=None, skipped=None,
+                    include_ids=None):
     """Stream raw reads; with shard=(pid, n) only every n-th FILE (round-
     robin by sorted index) is read — the multi-host shared-nothing ingest.
     ``skip_ids`` (resume manifest) filters by read id BEFORE the signal is
-    loaded from disk; ``skipped`` is a 1-element counter list."""
+    loaded from disk; ``skipped`` is a 1-element counter list;
+    ``include_ids`` loads ONLY those ids (joint-rescore re-ingest)."""
     paths = []
     for root, _dirs, files in sorted(os.walk(directory)):
         for fn in sorted(files):
@@ -140,12 +143,15 @@ def _iter_raw_reads(directory, shard=None, skip_ids=None, skipped=None):
         pid, n = shard
         paths = [p for i, p in enumerate(paths) if i % n == pid]
     for p in paths:
-        yield from fast5mod.read_fast5(p, skip_ids=skip_ids, skipped=skipped)
+        yield from fast5mod.read_fast5(p, skip_ids=skip_ids, skipped=skipped,
+                                       include_ids=include_ids)
     from .io import pod5 as pod5mod
 
     if pod5mod.HAVE_POD5:
         # pod5 inputs are sharded by the same round-robin rule
         for raw in pod5mod.iter_pod5_dir(directory, shard=shard):
+            if include_ids is not None and raw.read_id not in include_ids:
+                continue
             if skip_ids and raw.read_id in skip_ids:
                 if skipped is not None:
                     skipped[0] += 1
@@ -154,7 +160,7 @@ def _iter_raw_reads(directory, shard=None, skip_ids=None, skipped=None):
 
 
 def _stream_records(args, cfg, genome, metrics, model=None,
-                    skip_ids=None, shard=None):
+                    skip_ids=None, shard=None, include_ids=None):
     """Generator of prepped ReadRecords, produced with bounded lookahead.
 
     Ingest (lazy, resume-manifest-aware) + per-read prep (native C++ engine,
@@ -177,7 +183,8 @@ def _stream_records(args, cfg, genome, metrics, model=None,
 
     skipped = [0]
     raws = _iter_raw_reads(args.fast5_dir, shard=shard,
-                           skip_ids=skip_ids, skipped=skipped)
+                           skip_ids=skip_ids, skipped=skipped,
+                           include_ids=include_ids)
     if getattr(args, "basecalls", None):
         # sidecar basecall source (pod5 stores raw signal only): join
         # basecall + move table onto signal-only reads by read_id
@@ -267,6 +274,73 @@ def _round_up(v: int, m: int) -> int:
 def _ckpt_shard_path(path: str, pid: int) -> str:
     """Process 0 owns the accumulator file; others keep manifest shards."""
     return path if pid == 0 else f"{path}.p{pid}"
+
+
+def _final_calls(args, cfg, model, genome, contig_off, a_np, c_np, v_np,
+                 metas_by_contig, min_coverage, shard=None, multihost=False):
+    """Accumulators → SNP calls, with the joint adjacent-hypothesis pass.
+
+    When cfg.snp_joint_rescore is on, candidate clusters are re-scored by
+    full re-alignment over every covering read (nadavca_tpu.joint): the
+    cluster plan is a pure function of the globally-merged accumulators (so
+    every process derives it identically), each process re-ingests and
+    scores only its own shard's covering reads, and in multi-host mode the
+    per-cluster hypothesis totals are summed across processes with one
+    allgather per contig.
+    """
+    all_calls: List[callmod.SnpCall] = []
+    if not cfg.snp_joint_rescore:
+        for cname, coff in contig_off.items():
+            l = len(genome[cname])
+            all_calls.extend(callmod.call_snps(
+                a_np[coff:coff + l], c_np[coff:coff + l],
+                genome[cname].codes, cname, cfg,
+                min_coverage=min_coverage, votes=v_np[coff:coff + l]))
+        return all_calls
+
+    plans = {}
+    for cname, coff in contig_off.items():
+        l = len(genome[cname])
+        plans[cname] = joint.cluster_plan(
+            a_np[coff:coff + l], c_np[coff:coff + l], v_np[coff:coff + l],
+            genome[cname].codes, cfg, min_coverage=min_coverage)
+    needed = set()
+    for cname, plan in plans.items():
+        needed |= joint.needed_read_ids(
+            plan, (metas_by_contig or {}).get(cname, []), cfg.k)
+    records_by_id = {}
+    if needed:
+        for rec in _stream_records(args, cfg, genome, Metrics(), model=model,
+                                   shard=shard, include_ids=needed):
+            records_by_id[rec.read_id] = rec
+    for cname, coff in contig_off.items():
+        plan = plans[cname]
+        if not plan:
+            continue
+        l = len(genome[cname])
+        totals, counts = joint.partial_totals(
+            plan, (metas_by_contig or {}).get(cname, []), records_by_id,
+            model, cfg)
+        if multihost:
+            # same flat layout on every process (identical plan): one
+            # allgather sums the shard contributions elementwise
+            from jax.experimental import multihost_utils
+
+            flat = np.concatenate(
+                [np.concatenate(totals) if totals else np.zeros(0),
+                 np.asarray(counts, np.float64)])
+            summed = np.asarray(
+                multihost_utils.process_allgather(flat)).sum(axis=0)
+            off2, totals2 = 0, []
+            for t in totals:
+                totals2.append(summed[off2:off2 + len(t)])
+                off2 += len(t)
+            totals = totals2
+            counts = [int(round(v)) for v in summed[off2:]]
+        all_calls.extend(joint.decide(
+            plan, totals, counts, c_np[coff:coff + l],
+            genome[cname].codes, cname, cfg))
+    return all_calls
 
 
 def _staged_inputs(staged: dict) -> dict:
@@ -377,7 +451,8 @@ def cmd_align(args) -> int:
 
 def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
                        contig_off, Gp, genome_sharded, acc, cov, votes,
-                       metrics, done_ids=None, save_ckpt=None):
+                       metrics, done_ids=None, save_ckpt=None,
+                       metas_by_contig=None):
     """Config-5 batch loop (BASELINE.json config 5): every process runs this
     with its own shard of the reads. Shapes are agreed globally up front so
     all processes compile the identical program, dispatch is synchronous
@@ -452,6 +527,13 @@ def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
         n_done += batch.n_reads
         if done_ids is not None:
             done_ids.update(batch.read_ids[:batch.n_reads])
+        if metas_by_contig is not None:
+            for r in range(batch.n_reads):
+                metas_by_contig.setdefault(batch.contigs[r], []).append(
+                    joint.ReadMeta(batch.read_ids[r], batch.contigs[r],
+                                   int(batch.window_start[r]),
+                                   int(batch.window_len[r]),
+                                   int(batch.strand[r])))
         metrics.count("reads_called", batch.n_reads)
         # nb_g is global, so every process reaches this save at the same
         # batch index — the barrier inside save_ckpt lines up
@@ -502,6 +584,7 @@ def cmd_snp(args) -> int:
 
     # resume from checkpoint if present
     ckpt_accs, done_ids = ({}, set())
+    resumed_metas = []
     if args.checkpoint and multihost:
         # multi-host layout (VERDICT r3 task 4): process 0's file carries the
         # GLOBAL accumulators (post-psum state, identical on every process)
@@ -509,11 +592,12 @@ def cmd_snp(args) -> int:
         # at <path>.p<i> (file sharding is deterministic, so the same reads
         # land on the same process across runs). Requires a shared (or
         # per-host-consistent) filesystem and the same --num-processes.
-        ckpt_accs, m0, meta0 = load_checkpoint(args.checkpoint, with_meta=True)
+        ckpt_accs, m0, meta0, rm0 = load_checkpoint(args.checkpoint,
+                                                    with_meta=True)
         if pid == 0:
-            done_ids, my_meta = m0, meta0
+            done_ids, my_meta, resumed_metas = m0, meta0, rm0
         else:
-            _, done_ids, my_meta = load_checkpoint(
+            _, done_ids, my_meta, resumed_metas = load_checkpoint(
                 _ckpt_shard_path(args.checkpoint, pid), with_meta=True)
         if ckpt_accs or done_ids:
             if (meta0.get("num_processes") != nproc
@@ -529,7 +613,8 @@ def cmd_snp(args) -> int:
                     f"{my_meta.get('n_batches')}): the job died mid-save — "
                     "restart without resume")
     elif args.checkpoint:
-        ckpt_accs, done_ids = load_checkpoint(args.checkpoint)
+        ckpt_accs, done_ids, _, resumed_metas = load_checkpoint(
+            args.checkpoint, with_meta=True)
     if done_ids:
         print(f"resuming: {len(done_ids)} reads already merged "
               f"(process {pid})", file=sys.stderr)
@@ -572,12 +657,16 @@ def cmd_snp(args) -> int:
                         v_np[coff:coff + len(genome[cname])])
                 for cname, coff in contig_off.items()}
 
+    def _flat_metas():
+        return [m for ms in (metas_by_contig or {}).values() for m in ms]
+
     def save_ckpt():
         if args.checkpoint:
             a_np, c_np, v_np = (np.asarray(acc), np.asarray(cov),
                                 np.asarray(votes))
             save_checkpoint(args.checkpoint,
-                            _accs_by_contig(a_np, c_np, v_np), done_ids)
+                            _accs_by_contig(a_np, c_np, v_np), done_ids,
+                            read_metas=_flat_metas())
 
     def save_ckpt_mh(acc, cov, votes, n_batches, done_ids):
         """Multi-host checkpoint protocol: manifests first, then a barrier,
@@ -594,7 +683,7 @@ def cmd_snp(args) -> int:
         meta = {"n_batches": int(n_batches), "num_processes": int(nproc)}
         if pid != 0:
             save_checkpoint(_ckpt_shard_path(args.checkpoint, pid), {},
-                            done_ids, meta=meta)
+                            done_ids, meta=meta, read_metas=_flat_metas())
         multihost_utils.sync_global_devices(f"ckpt_manifests_{n_batches}")
         # the fetch is collective for genome-sharded accumulators — every
         # process participates even though only process 0 writes
@@ -604,12 +693,19 @@ def cmd_snp(args) -> int:
         if pid == 0:
             save_checkpoint(args.checkpoint,
                             _accs_by_contig(a_np, c_np, v_np), done_ids,
-                            meta=meta)
+                            meta=meta, read_metas=_flat_metas())
 
     subst = _maybe_subst_tables(args, genome, model)
     t0 = time.time()
     n_done = 0
     n_batches = 0
+    # per-read placement metadata for the joint rescore pass (tiny); a
+    # resumed run seeds it from the checkpoint so pre-checkpoint reads stay
+    # re-loadable as joint evidence
+    metas_by_contig = {} if cfg.snp_joint_rescore else None
+    if metas_by_contig is not None:
+        for m in resumed_metas:
+            metas_by_contig.setdefault(m.contig, []).append(m)
 
     if multihost:
         from .parallel import distributed as dist
@@ -617,7 +713,7 @@ def cmd_snp(args) -> int:
         n_done, acc, cov, votes = _run_snp_multihost(
             args, cfg, model, genome, subst, mesh, records, contig_off, Gp,
             genome_sharded, acc, cov, votes, metrics,
-            done_ids=done_ids,
+            done_ids=done_ids, metas_by_contig=metas_by_contig,
             save_ckpt=save_ckpt_mh if args.checkpoint else None)
         dt = time.time() - t0
         metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
@@ -626,15 +722,14 @@ def cmd_snp(args) -> int:
         a_np = np.asarray(dist.fetch_replicated(acc))
         c_np = np.asarray(dist.fetch_replicated(cov))
         v_np = np.asarray(dist.fetch_replicated(votes))
+        # every process joins _final_calls (the joint pass allgathers its
+        # per-shard hypothesis totals); only process 0 writes the VCF
+        all_calls = _final_calls(
+            args, cfg, model, genome, contig_off, a_np, c_np, v_np,
+            metas_by_contig, args.min_coverage, shard=(pid, nproc),
+            multihost=True)
         if pid != 0:
             return 0
-        all_calls: List[callmod.SnpCall] = []
-        for cname, coff in contig_off.items():
-            l = len(genome[cname])
-            all_calls.extend(callmod.call_snps(
-                a_np[coff:coff + l], c_np[coff:coff + l],
-                genome[cname].codes, cname, cfg,
-                min_coverage=args.min_coverage, votes=v_np[coff:coff + l]))
         callmod.write_vcf(args.output, all_calls)
         metrics.report(sys.stderr)
         print(f"{len(all_calls)} SNP calls ({nproc} processes, "
@@ -724,6 +819,13 @@ def cmd_snp(args) -> int:
         n_done += batch.n_reads
         n_batches += 1
         done_ids.update(batch.read_ids[: batch.n_reads])
+        if metas_by_contig is not None:
+            for r in range(batch.n_reads):
+                metas_by_contig.setdefault(batch.contigs[r], []).append(
+                    joint.ReadMeta(batch.read_ids[r], batch.contigs[r],
+                                   int(batch.window_start[r]),
+                                   int(batch.window_len[r]),
+                                   int(batch.strand[r])))
         metrics.count("reads_called", batch.n_reads)
         if args.checkpoint and n_batches % args.checkpoint_every == 0:
             save_ckpt()
@@ -733,16 +835,9 @@ def cmd_snp(args) -> int:
         steady_secs += time.time() - span_t0
     save_ckpt()
     a_np, c_np, v_np = np.asarray(acc), np.asarray(cov), np.asarray(votes)
-    all_calls: List[callmod.SnpCall] = []
-    for cname, coff in contig_off.items():
-        l = len(genome[cname])
-        all_calls.extend(
-            callmod.call_snps(
-                a_np[coff:coff + l], c_np[coff:coff + l],
-                genome[cname].codes, cname, cfg,
-                min_coverage=args.min_coverage, votes=v_np[coff:coff + l],
-            )
-        )
+    all_calls = _final_calls(args, cfg, model, genome, contig_off,
+                             a_np, c_np, v_np, metas_by_contig,
+                             args.min_coverage)
     callmod.write_vcf(args.output, all_calls)
     dt = time.time() - t0
     metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)

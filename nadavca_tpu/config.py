@@ -51,6 +51,17 @@ class AlignConfig:
                                   # below min_coverage — threshold sweep
                                   # 2026-08-20, BASELINE.md)
     snp_cluster_prune: bool = True  # suppress weaker calls within k of a stronger one
+    # --- joint adjacent-hypothesis rescore (VERDICT r3 task 2) ---
+    # the per-position model scores each substitution against ITS own local
+    # signal window, so a true SNP's perturbed k-mers can make a neighbor
+    # position's alt hypothesis score best (the adjacent-shift ambiguity —
+    # the f64 oracle makes the same shifted call). The joint pass re-scores
+    # every candidate cluster's hypothesis set {ref} ∪ {alt b @ p, |p-hit|<k}
+    # by full re-ALIGNMENT of the same signal slice per hypothesis, and keeps
+    # the argmax hypothesis.
+    snp_joint_rescore: bool = True
+    snp_joint_margin: float = 2.0   # total log-lik edge over ref required to call
+    snp_joint_pad: int = 12         # context positions kept around the cluster
     # --- batching ---
     # signal-length buckets: ~1.25x geometric steps (128-aligned) bound the
     # worst-case padding waste at ~20% (power-of-two steps measured 38% on
@@ -63,6 +74,17 @@ class AlignConfig:
     adaptive_band_threshold: int = 16384  # signal samples above which the wide band is used
     band_width_long: int = 256    # band width for long reads (adaptive band, config 3)
     kernel_unroll: object = True  # fori_loop unroll inside the fill kernel (True or 1)
+    # two-sample DP steps in the Pallas fill (no-skip path only): the pair
+    # recurrence V(s+1) = e2 + max(v+K0, v[-1]+K1, v[-2]+K2) with K* built
+    # from e1 halves the serial dependency chain per sample. MEASURED SLOWER
+    # on v5e (63 vs 70 Gcells/s at read_tile=128, 65 vs 79 at 256 —
+    # BASELINE.md 2026-08-21 ablation): at production tile sizes the kernel
+    # is op-issue-bound, not latency-bound, so the grouped form's extra
+    # off-chain ops cost more than the shorter chain saves. Kept as an
+    # ablation knob; scores match the nested form to ~1e-4 but near-tie
+    # path decisions can flip (reassociated rounding), so parity suites run
+    # with it OFF.
+    dp_pair_step: bool = False
     # --- mesh ---
     data_axis: str = "data"       # mesh axis name for data-parallel read sharding
     genome_axis: str = "genome"   # mesh axis name for sharded locus accumulators

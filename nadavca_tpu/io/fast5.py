@@ -156,13 +156,16 @@ def _parse_fastq_seq(raw) -> Optional[str]:
     return lines[1] if len(lines) >= 2 else None
 
 
-def _read_single(f, skip_ids=None, skipped=None) -> List[RawRead]:
+def _read_single(f, skip_ids=None, skipped=None,
+                 include_ids=None) -> List[RawRead]:
     reads = []
     ch = f["UniqueGlobalKey/channel_id"].attrs if "UniqueGlobalKey" in f else {}
     for name, grp in f["Raw/Reads"].items():
         rid = grp.attrs.get("read_id", name)
         if isinstance(rid, bytes):
             rid = rid.decode("ascii")
+        if include_ids is not None and str(rid) not in include_ids:
+            continue
         if skip_ids and str(rid) in skip_ids:
             # resume fast path: the id check is metadata-only, the signal
             # dataset of an already-processed read is never touched
@@ -210,7 +213,8 @@ def _find_basecall(g):
     return None, None
 
 
-def read_fast5(path: str, skip_ids=None, skipped=None) -> List[RawRead]:
+def read_fast5(path: str, skip_ids=None, skipped=None,
+               include_ids=None) -> List[RawRead]:
     """All reads of a fast5 file (single- or multi-read layout).
 
     ``skip_ids`` (a set of read ids, e.g. a resume manifest) filters BEFORE
@@ -218,13 +222,17 @@ def read_fast5(path: str, skip_ids=None, skipped=None) -> List[RawRead]:
     / read_id attr) is touched for a skipped read, so resuming a mostly-done
     run costs a small fraction of the original ingest I/O (VERDICT r3 task
     4). ``skipped`` is an optional 1-element list incremented per skip.
+    ``include_ids`` is the opposite filter (load ONLY these ids) — the
+    joint-rescore pass uses it to re-load just the reads covering candidate
+    clusters.
     """
     if not HAVE_H5PY:
         raise RuntimeError("h5py unavailable")
     out: List[RawRead] = []
     with h5py.File(path, "r") as f:
         if "Raw" in f:
-            return _read_single(f, skip_ids=skip_ids, skipped=skipped)
+            return _read_single(f, skip_ids=skip_ids, skipped=skipped,
+                                include_ids=include_ids)
         for name in f:
             if not name.startswith("read_"):
                 continue
@@ -233,6 +241,8 @@ def read_fast5(path: str, skip_ids=None, skipped=None) -> List[RawRead]:
             rid = raw.attrs.get("read_id", name[5:])
             if isinstance(rid, bytes):
                 rid = rid.decode("ascii")
+            if include_ids is not None and str(rid) not in include_ids:
+                continue
             if skip_ids and str(rid) in skip_ids:
                 if skipped is not None:
                     skipped[0] += 1

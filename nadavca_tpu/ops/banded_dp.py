@@ -66,7 +66,7 @@ def _band_gather(arr, idx, fill):
     return jnp.where(ok, jnp.take_along_axis(arr, safe, axis=1), fill)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "pin_start", "pin_end"))
 def banded_viterbi_batch(
     x: jax.Array,
     t_len: jax.Array,
@@ -75,8 +75,19 @@ def banded_viterbi_batch(
     n_ref: jax.Array,
     lo: jax.Array,
     cfg: AlignConfig = AlignConfig(),
+    pin_start: bool = False,
+    pin_end: bool = False,
 ) -> ViterbiResult:
-    """Fill + backtrack of the banded Viterbi over a padded batch."""
+    """Fill + backtrack of the banded Viterbi over a padded batch.
+
+    ``pin_start``/``pin_end`` constrain the alignment to begin at reference
+    position 0 / end at position n_ref-1 instead of floating freely within
+    the band. The joint rescore pass (nadavca_tpu.joint) pins both: with
+    free endpoints a whole-slice shift is nearly free, so adjacent-position
+    hypotheses score almost identically — the very ambiguity the pass
+    exists to break. Default off: the production aligner wants free ends
+    (reads enter/leave the window mid-signal).
+    """
     R, T = x.shape
     B = cfg.band_width
     j_idx = jnp.arange(B, dtype=jnp.int32)[None, :]  # (1, B)
@@ -89,14 +100,33 @@ def banded_viterbi_batch(
         i = lo[:, t][:, None] + j_idx  # (R, B) absolute positions
         m = _band_gather(mu, i, 0.0)
         s = _band_gather(sigma, i, 1.0)
-        e = gaussian_logpdf(x[:, t][:, None], m, s)
         valid = i < n_ref[:, None]
-        return jnp.where(valid, e, NEG_INF)
+        if cfg.use_skip:
+            e = gaussian_logpdf(x[:, t][:, None], m, s)
+            return jnp.where(valid, e, NEG_INF)
+        # EXACT mirror of the Pallas fill's polynomial emission with the
+        # stay transition folded in (ops/pallas_dp._fill_kernel): backends
+        # must make bit-identical decisions, so the expression — not just
+        # the math — matches. Returns e + log_p_stay; the t=0 free start
+        # subtracts it back.
+        inv2v = 0.5 / (s * s)
+        em_const = jnp.where(valid, -jnp.log(s) - _HALF_LOG_2PI, NEG_INF)
+        c2p = -inv2v
+        c1p = (m + m) * inv2v
+        c0p = em_const - m * m * inv2v + cfg.log_p_stay
+        xc = x[:, t][:, None]
+        return (c2p * xc + c1p) * xc + c0p
 
-    # t = 0: free start anywhere in the band
-    V0 = emit_at(0)
+    # t = 0: free start anywhere in the band (or pinned to position 0)
+    V0 = emit_at(0) if cfg.use_skip else emit_at(0) - cfg.log_p_stay
+    if pin_start:
+        i0 = lo[:, 0][:, None] + j_idx
+        V0 = jnp.where(i0 == 0, V0, NEG_INF)
     m0 = jnp.max(V0, axis=1)
+    m0 = jnp.where(m0 > NEG_INF / 2, m0, 0.0)
     V0 = V0 - m0[:, None]
+
+    dcs = cfg.log_p_move - cfg.log_p_stay
 
     def step(carry, t):
         V, acc = carry  # V (R, B) renormalized; acc (R,) running offset
@@ -106,11 +136,19 @@ def banded_viterbi_batch(
             jp = j_idx + d - adv  # (R, B) source band slot at t-1
             return _band_gather(V, jp, NEG_INF)
 
-        cands = jnp.stack(
-            [shifted(adv) + trans_arr[adv] for adv in range(n_trans)], axis=0
-        )  # (n_trans, R, B)
-        best = jnp.argmax(cands, axis=0).astype(jnp.int8)
-        best_val = jnp.max(cands, axis=0)
+        if cfg.use_skip:
+            cands = jnp.stack(
+                [shifted(adv) + trans_arr[adv] for adv in range(n_trans)],
+                axis=0
+            )  # (n_trans, R, B)
+            best = jnp.argmax(cands, axis=0).astype(jnp.int8)
+            best_val = jnp.max(cands, axis=0)
+        else:
+            # folded-transition compare — the exact Pallas expression
+            v0 = shifted(0)
+            mv = shifted(1) + dcs
+            best = (mv > v0).astype(jnp.int8)
+            best_val = jnp.maximum(v0, mv)
         has_pred = best_val > NEG_INF / 2
         V_new = jnp.where(has_pred, emit_at(t) + best_val, NEG_INF)
         dec = jnp.where(has_pred, best, jnp.int8(DEC_START))
@@ -132,6 +170,8 @@ def banded_viterbi_batch(
 
     i_fin = lo[:, T - 1][:, None] + j_idx
     V_valid = jnp.where(i_fin < n_ref[:, None], V_fin, NEG_INF)
+    if pin_end:
+        V_valid = jnp.where(i_fin == (n_ref - 1)[:, None], V_valid, NEG_INF)
     j_end = jnp.argmax(V_valid, axis=1).astype(jnp.int32)
     score = acc_fin + jnp.take_along_axis(V_valid, j_end[:, None], axis=1)[:, 0]
 

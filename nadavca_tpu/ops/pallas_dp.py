@@ -76,6 +76,115 @@ def _shift_lanes_right(v, amt_col, B: int, lane, fill):
     return jnp.where(lane - amt_col >= 0, v, fill)
 
 
+def _pair_fill_body(x_ref, dec_ref, v_scr, mu, em_const, inv2v,
+                    neg_col, neg_col2, is_chunk0, tmask, *,
+                    C: int, B: int, r_tile: int,
+                    log_p_stay: float, log_p_move: float, unroll):
+    """Two samples per iteration: half the serial dependency chain.
+
+    The nested recurrence V(s+1)[j] = e2[j] + max(V(s)[j]+cs, V(s)[j-1]+cm)
+    with V(s) = e1 + max(v+cs, v[-1]+cm) regroups by TOTAL advance a ∈
+    {0,1,2} into  V(s+1) = e2 + max(v + K0, v[-1] + K1, v[-2] + K2)  where
+    K0 = e1 + 2cs, K1 = max(e1, e1[-1]) + cs + cm, K2 = e1[-1] + 2cm are
+    functions of the emissions alone — they compute OFF the carried-v
+    critical chain, so the chain cost per pair (roll → add → max → max →
+    add) is ~the cost one nested step paid per sample. The kernel was
+    measured latency-bound, not issue-bound (BASELINE.md roofline:
+    read_tile scaling), so extra off-chain ops buy wall time.
+
+    Per-sample decision bits are recovered from the winning decomposition:
+    a=1 splits by b_dec = (e1[-1] > e1) into (move-then-stay) vs
+    (stay-then-move), matching the nested evaluation's tie order.
+    """
+    cs = log_p_stay
+    cm = log_p_move
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_tile, B), 1)
+    neg1f = jnp.full((r_tile, 1), NEG_INF, jnp.float32)
+
+    def shift1(a, fill_col):
+        return jnp.concatenate([fill_col, a[:, : B - 1]], axis=1)
+
+    def shift2(a, fill_col2):
+        return jnp.concatenate([fill_col2, a[:, : B - 2]], axis=1)
+
+    def body(u, carry):
+        v, pack = carry
+        s = 2 * u
+        x1 = x_ref[:, pl.ds(s, 1)]
+        x2 = x_ref[:, pl.ds(s + 1, 1)]
+        d1 = x1 - mu
+        e1 = em_const - d1 * d1 * inv2v
+        d2 = x2 - mu
+        e2 = em_const - d2 * d2 * inv2v
+        e1m = shift1(e1, neg1f)
+        # pair-transition constants (independent of carried v)
+        K0 = e1 + (cs + cs)
+        b_dec = e1m > e1                       # a=1 decomposition: a2 = 1
+        K1 = jnp.maximum(e1, e1m) + (cs + cm)
+        K2 = e1m + (cm + cm)
+        # the critical chain: two rolls (parallel), three adds (parallel),
+        # two maxes, one add
+        vm1 = shift1(v, neg_col)
+        vm2 = shift2(v, neg_col2)
+        c0 = v + K0
+        c1 = vm1 + K1
+        c2 = vm2 + K2
+        a1best = c1 > c0
+        m01 = jnp.maximum(c0, c1)
+        a2best = c2 > m01
+        v_pair = e2 + jnp.maximum(m01, c2)
+        # per-sample advance bits from the winning total advance
+        bit_hi = jnp.logical_or(a2best, jnp.logical_and(a1best, b_dec))
+        bit_lo = jnp.logical_or(
+            a2best, jnp.logical_and(a1best, jnp.logical_not(b_dec)))
+        # chunk-0 start: V(0) = e1 (free start), V(1) = single step from it
+        is_first = jnp.logical_and(is_chunk0, s == 0)
+        stay_f = e1 + cs
+        move_f = shift1(e1, neg1f) + cm
+        bit_hi_first = move_f > stay_f
+        v_first = e2 + jnp.maximum(stay_f, move_f)
+        # half-pair (t_len ends between the two samples): single step from v
+        stay_h = v + cs
+        move_h = vm1 + cm
+        bit_lo_half = move_h > stay_h
+        v_half = e1 + jnp.maximum(stay_h, move_h)
+        v_half = jnp.where(is_first, e1, v_half)
+        bit_lo_half = jnp.logical_and(bit_lo_half,
+                                      jnp.logical_not(is_first))
+
+        act1 = s < tmask
+        act2 = (s + 1) < tmask
+        v_new = jnp.where(is_first, v_first, v_pair)
+        # bool selects as logical ops (Mosaic rejects select_n on i1 vectors)
+        not_first = jnp.logical_not(is_first)
+        bit_hi = jnp.logical_or(
+            jnp.logical_and(is_first, bit_hi_first),
+            jnp.logical_and(not_first, bit_hi))
+        bit_lo = jnp.logical_and(bit_lo, not_first)
+        v = jnp.where(act2, v_new, jnp.where(act1, v_half, v))
+        bit_lo = jnp.logical_or(
+            jnp.logical_and(act2, bit_lo),
+            jnp.logical_and(jnp.logical_not(act2),
+                            jnp.logical_and(bit_lo_half, act1)))
+        bit_hi = jnp.logical_and(bit_hi, act2)
+        pack = pack | (bit_lo.astype(jnp.int32) << (s % 32))
+        pack = pack | (bit_hi.astype(jnp.int32) << ((s + 1) % 32))
+
+        @pl.when(s % 32 == 30)
+        def _():
+            dec_ref[pl.ds(s // 32, 1)] = pack.reshape(1, r_tile, B)
+
+        pack = jnp.where(s % 32 == 30, jnp.zeros_like(pack), pack)
+        return v, pack
+
+    v, _ = jax.lax.fori_loop(
+        0, C // 2, body,
+        (v_scr[:], jnp.zeros((r_tile, B), jnp.int32)),
+        unroll=unroll,
+    )
+    v_scr[:] = v
+
+
 def _fill_kernel(
     # inputs
     x_ref,        # (R_TILE, C) f32 signal chunk
@@ -102,6 +211,7 @@ def _fill_kernel(
     use_skip: bool,
     r_tile: int,
     unroll,
+    pair_step: bool = False,
 ):
     if use_skip:
         dec_ref, dec2_ref, vout_ref, accout_ref, v_scr, acc_scr = refs
@@ -123,6 +233,15 @@ def _fill_kernel(
     pos_valid = (lo_col + lane) < nref
     em_const = jnp.where(pos_valid, -jnp.log(sg) - _HALF_LOG_2PI, NEG_INF)
     inv2v = 0.5 / (sg * sg)
+    # polynomial emission constants: e(x) = (C2·x + C1)·x + C0s is two fused
+    # ops per step vs four for em_const − (x−μ)²·inv2v, and the stay
+    # transition folds into C0s (the free-start cell un-folds it explicitly
+    # in the masked body). The kernel is issue-bound (BASELINE.md 2026-08-21
+    # ablation), so fewer per-step ops is wall time. The scan backend mirrors
+    # this exact expression (ops/banded_dp.py) so backends stay bit-identical.
+    c2p = -inv2v
+    c1p = (mu + mu) * inv2v
+    c0p = em_const - mu * mu * inv2v + log_p_stay
 
     @pl.when(c == 0)
     def _():
@@ -140,35 +259,71 @@ def _fill_kernel(
     is_chunk0 = c == 0
     tmask = tlen - t0  # (R_TILE, 1): in-chunk sample s is active iff s < tmask
 
+    def finish(v):
+        # chunk-end renormalization: per-read constants into the accumulator
+        m = jnp.max(v, axis=1, keepdims=True)
+        m = jnp.where(m > NEG_INF / 2, m, 0.0)
+        v_scr[:] = v - m
+        acc = acc_scr[:] + m
+        acc_scr[:] = acc
+        vout_ref[:] = v - m
+        accout_ref[:] = acc
+
+    if pair_step and not use_skip:
+        _pair_fill_body(x_ref, dec_ref, v_scr, mu, em_const, inv2v,
+                        neg_col, neg_col2, is_chunk0, tmask,
+                        C=C, B=B, r_tile=R_TILE,
+                        log_p_stay=log_p_stay, log_p_move=log_p_move,
+                        unroll=unroll)
+        finish(v_scr[:])
+        return
+
     # One fori_loop over the chunk, fully unrolled by Mosaic; DP state and the
     # bit-pack register(s) ride the loop carry (vregs), decisions flush to the
-    # output block every 32 steps.
-    def body(s, carry):
+    # output block every 32 steps. ``masked`` compiles the boundary variant
+    # (first-sample free start, per-read t_len masking); interior fully-
+    # active chunks run the stripped body below — removing identity selects
+    # is exact and saves ~25% of the per-step vector ops (the kernel is
+    # issue-bound at production tile sizes, BASELINE.md 2026-08-21 ablation).
+    dcs = log_p_move - log_p_stay
+
+    def body(s, carry, masked=True):
         v, pack, pack2 = carry
         x_col = x_ref[:, pl.ds(s, 1)]
-        diff = x_col - mu
-        emit = em_const - diff * diff * inv2v
-        stay = v + log_p_stay
-        move = jnp.concatenate([neg_col, v[:, : B - 1]], axis=1) + log_p_move
-        bit = move > stay
-        best = jnp.maximum(stay, move)
         if use_skip:
+            diff = x_col - mu
+            emit = em_const - diff * diff * inv2v
+            stay = v + log_p_stay
+            move = jnp.concatenate([neg_col, v[:, : B - 1]], axis=1) + log_p_move
+            bit = move > stay
+            best = jnp.maximum(stay, move)
             # third candidate: advance by 2 (strict > keeps the spec's
             # first-max tie rule: stay beats move beats skip)
             skip = jnp.concatenate([neg_col2, v[:, : B - 2]], axis=1) + log_p_skip
             bit2 = skip > best
             bit = jnp.logical_and(bit, jnp.logical_not(bit2))
             best = jnp.maximum(best, skip)
-        is_first = jnp.logical_and(is_chunk0, s == 0)
-        v_new = jnp.where(is_first, emit, emit + best)
-        bit = jnp.logical_and(bit, jnp.logical_not(is_first))
-        active = s < tmask  # (R_TILE, 1)
-        v = jnp.where(active, v_new, v)
-        bit = jnp.logical_and(bit, active)
+        else:
+            # poly emission (stay folded into c0p) + transition-delta compare
+            emit = (c2p * x_col + c1p) * x_col + c0p
+            mv = jnp.concatenate([neg_col, v[:, : B - 1]], axis=1) + dcs
+            bit = mv > v
+            best = jnp.maximum(v, mv)
+        if masked:
+            free = emit if use_skip else emit - log_p_stay
+            is_first = jnp.logical_and(is_chunk0, s == 0)
+            v_new = jnp.where(is_first, free, emit + best)
+            bit = jnp.logical_and(bit, jnp.logical_not(is_first))
+            active = s < tmask  # (R_TILE, 1)
+            v = jnp.where(active, v_new, v)
+            bit = jnp.logical_and(bit, active)
+        else:
+            v = emit + best
         pack = pack | (bit.astype(jnp.int32) << (s % 32))
         if use_skip:
-            bit2 = jnp.logical_and(bit2, jnp.logical_not(is_first))
-            bit2 = jnp.logical_and(bit2, active)
+            if masked:
+                bit2 = jnp.logical_and(bit2, jnp.logical_not(is_first))
+                bit2 = jnp.logical_and(bit2, active)
             pack2 = pack2 | (bit2.astype(jnp.int32) << (s % 32))
 
         @pl.when(s % 32 == 31)
@@ -182,21 +337,21 @@ def _fill_kernel(
             pack2 = jnp.where(s % 32 == 31, jnp.zeros_like(pack2), pack2)
         return v, pack, pack2
 
-    v, _, _ = jax.lax.fori_loop(
-        0, C, body,
-        (v_scr[:], jnp.zeros((R_TILE, B), jnp.int32),
-         jnp.zeros((R_TILE, B), jnp.int32)),
-        unroll=unroll,
-    )
+    init = (v_scr[:], jnp.zeros((R_TILE, B), jnp.int32),
+            jnp.zeros((R_TILE, B), jnp.int32))
+    # interior chunk: every read fully active and not the free-start chunk
+    interior = jnp.logical_and(c > 0, jnp.min(tmask) >= C)
 
-    # chunk-end renormalization: shift per-read constants into the accumulator
-    m = jnp.max(v, axis=1, keepdims=True)
-    m = jnp.where(m > NEG_INF / 2, m, 0.0)
-    v_scr[:] = v - m
-    acc = acc_scr[:] + m
-    acc_scr[:] = acc
-    vout_ref[:] = v - m
-    accout_ref[:] = acc
+    @pl.when(interior)
+    def _():
+        v, _, _ = jax.lax.fori_loop(
+            0, C, functools.partial(body, masked=False), init, unroll=unroll)
+        finish(v)
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        v, _, _ = jax.lax.fori_loop(0, C, body, init, unroll=unroll)
+        finish(v)
 
 
 def viterbi_fill_pallas(
@@ -235,6 +390,7 @@ def viterbi_fill_pallas(
         use_skip=cfg.use_skip,
         r_tile=R_TILE,
         unroll=cfg.kernel_unroll,
+        pair_step=getattr(cfg, "dp_pair_step", False),
     )
     grid = (R // R_TILE, n_chunks)
     n_planes = 2 if cfg.use_skip else 1

@@ -142,10 +142,21 @@ def run_cell(cell: Cell, backend: str, seed: int, interpret: bool = False,
     # threshold sweep: votes>=3 + cov>=3 removes the 4x-coverage FP floor;
     # sites below it are honest no-calls and excluded from recall)
     min_cov = 3
-    calls = callmod.call_snps(
-        np.asarray(acc), np.asarray(cov), ref_genome["ref"].codes, "ref",
-        cfg, min_coverage=min_cov, votes=np.asarray(votes),
-    )
+    if cfg.snp_joint_rescore:
+        from nadavca_tpu import joint
+
+        metas = [joint.ReadMeta(r.read_id, r.anchor.contig,
+                                int(r.anchor.ref_start), len(r.window_codes),
+                                int(r.anchor.strand)) for r in records]
+        calls = joint.refine_contig_calls(
+            np.asarray(acc), np.asarray(cov), np.asarray(votes),
+            ref_genome["ref"].codes, "ref", cfg, model, metas,
+            {r.read_id: r for r in records}, min_coverage=min_cov)
+    else:
+        calls = callmod.call_snps(
+            np.asarray(acc), np.asarray(cov), ref_genome["ref"].codes, "ref",
+            cfg, min_coverage=min_cov, votes=np.asarray(votes),
+        )
     wall = time.time() - t0
     cov_np = np.asarray(cov)
     called = {(c.position, c.alt_base) for c in calls}

@@ -1,0 +1,92 @@
+"""Joint adjacent-hypothesis rescore (nadavca_tpu.joint; VERDICT r3 task 2)."""
+
+import numpy as np
+import pytest
+
+from nadavca_tpu import joint
+from nadavca_tpu.config import AlignConfig
+from nadavca_tpu.io import fast5
+
+pytestmark = pytest.mark.skipif(not fast5.HAVE_H5PY, reason="h5py unavailable")
+
+
+def test_group_clusters():
+    k = 6
+    assert joint.group_clusters(np.array([], np.int64), k) == []
+    assert joint.group_clusters(np.array([10]), k) == [(10, 10)]
+    # 10,12,14 chain into one cluster (gaps < k); 30 is separate
+    assert joint.group_clusters(np.array([14, 10, 30, 12]), k) == [
+        (10, 14), (30, 30)]
+    # gap of exactly k splits
+    assert joint.group_clusters(np.array([10, 16]), k) == [(10, 10), (16, 16)]
+
+
+def test_pinned_viterbi_endpoints():
+    """pin_start/pin_end force the path to span position 0..n_ref-1."""
+    import jax.numpy as jnp
+
+    from nadavca_tpu.io.simulator import random_genome, simulate_read
+    from nadavca_tpu.kmer_model import default_model
+    from nadavca_tpu.ops import banded_dp
+
+    rng = np.random.default_rng(0)
+    model = default_model()
+    genome = random_genome(rng, length=80)
+    rd = simulate_read(genome, "ref", model, rng, read_len=60, strand=1)
+    mu, sg = model.expected_signal(rd.window_codes)
+    T = len(rd.signal)
+    n = len(mu)
+    cfg = AlignConfig(band_width=128)
+    x = jnp.asarray(rd.signal[None, :].astype(np.float32))
+    lo = jnp.zeros((1, T), jnp.int32)
+    args = (x, jnp.asarray([T], jnp.int32), jnp.asarray(mu[None]),
+            jnp.asarray(sg[None]), jnp.asarray([n], jnp.int32), lo)
+    free = banded_dp.banded_viterbi_batch(*args, cfg)
+    pinned = banded_dp.banded_viterbi_batch(*args, cfg,
+                                            pin_start=True, pin_end=True)
+    p = np.asarray(pinned.path)[0]
+    assert p[0] == 0 and p[T - 1] == n - 1
+    # the pinned optimum can never beat the free optimum
+    assert float(pinned.score[0]) <= float(free.score[0]) + 1e-3
+
+
+def _sim_world(tmp_path, seed=3, snps=2):
+    from nadavca_tpu import cli
+
+    d = str(tmp_path / "d")
+    cli.main(["simulate", "-o", d, "--reads", "24", "--files", "2",
+              "--read-length", "400", "--genome-length", "2000",
+              "--snps", str(snps), "--seed", str(seed)])
+    truth = {}
+    with open(f"{d}/truth_snps.tsv") as f:
+        next(f)
+        for line in f:
+            contig, pos, sample_b, ref_b = line.split()
+            truth[int(pos)] = sample_b
+    return d, truth
+
+
+def test_joint_calls_exact_positions(tmp_path):
+    """The joint pass places every planted SNP at its exact position (the
+    per-position model is allowed to shift within k; joint is not)."""
+    from nadavca_tpu import api
+
+    d, truth = _sim_world(tmp_path)
+    calls = api.call_snps(f"{d}/reference.fasta", d, backend="scan",
+                          min_coverage=3, workers=2)
+    assert {c.position: c.alt_base for c in calls} == truth
+
+
+def test_joint_off_matches_legacy(tmp_path):
+    """snp_joint_rescore=False preserves the per-position caller exactly."""
+    import dataclasses
+
+    from nadavca_tpu import api
+
+    d, truth = _sim_world(tmp_path, seed=5)
+    cfg = dataclasses.replace(AlignConfig(), snp_joint_rescore=False)
+    calls = api.call_snps(f"{d}/reference.fasta", d, backend="scan",
+                          config=cfg, min_coverage=3, workers=2)
+    # legacy path may shift within k but must find evidence near each truth
+    for p in truth:
+        assert any(abs(c.position - p) < cfg.k for c in calls), (p, calls)
