@@ -90,7 +90,7 @@ def build_workload(seed=0):
     return cfg, model, protos, dict(
         x=x, t_len=t_len, mu=mu, sigma=sigma, n_ref=n_ref,
         lo=bands.lo, delta=bands.delta, codes=codes, ids=ids, woff=woff,
-    ), tables
+    ), tables, genome
 
 
 def bench_tpu(cfg, model, w, tables=None):
@@ -150,6 +150,42 @@ def bench_tpu(cfg, model, w, tables=None):
     return reads_per_s, cells / best_dt, backend
 
 
+def bench_host_stream(cfg, model, protos, genome):
+    """Host ingest+prep streaming rate (reads/s) on THIS host.
+
+    The streamed CLI overlaps ingest/prep with device compute, so its
+    steady end-to-end rate is ~min(host stream rate, device rate). This
+    measures the host side for the JSON line (fast5 read + native prep per
+    read); the 2-CPU sandbox is host-bound, a many-core production host is
+    not (BASELINE.md 2026-08-21 row).
+    """
+    import os
+    import tempfile
+
+    from nadavca_tpu.io import fast5 as fast5mod
+    from nadavca_tpu.pipeline import make_preprocessor
+
+    import dataclasses
+
+    uniq = [dataclasses.replace(p, read_id=f"bench{i:04d}")
+            for i, p in enumerate(protos * 2)]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "r.fast5")
+        fast5mod.write_fast5(path, uniq)
+        work = make_preprocessor(genome, cfg, model=model)
+        raws = fast5mod.read_fast5(path)
+        for r in raws[:4]:
+            work(r)  # warm the native engine
+        t0 = time.time()
+        raws = fast5mod.read_fast5(path)
+        n = 0
+        for r in raws:
+            work(r)
+            n += 1
+        dt = time.time() - t0
+    return n / dt if dt > 0 else float("nan")
+
+
 def bench_cpu(cfg, model, protos, w):
     from nadavca_tpu.ops import cpu_ref
 
@@ -179,17 +215,26 @@ def main():
     from nadavca_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    cfg, model, protos, w, tables = build_workload()
+    cfg, model, protos, w, tables, genome = build_workload()
     try:
         cpu_rps = bench_cpu(cfg, model, protos, w)
     except Exception as e:  # no toolchain — fall back to a conservative constant
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
         cpu_rps = float("nan")
     tpu_rps, cells_per_s, backend = bench_tpu(cfg, model, w, tables)
+    try:
+        host_rps = bench_host_stream(cfg, model, protos, genome)
+    except Exception as e:
+        print(f"[bench] host stream failed: {e}", file=sys.stderr)
+        host_rps = float("nan")
     vs = tpu_rps / cpu_rps if cpu_rps == cpu_rps else None
+    # steady end-to-end bound of the streamed CLI: host feed and device
+    # compute overlap, so the slower side is the pipeline rate
+    e2e = min(tpu_rps, host_rps) if host_rps == host_rps else None
     print(
         f"[bench] backend={backend} tpu={tpu_rps:.1f} reads/s "
-        f"({cells_per_s/1e9:.1f} Gcells/s incl. rescore) cpu={cpu_rps:.2f} reads/s",
+        f"({cells_per_s/1e9:.1f} Gcells/s incl. rescore) cpu={cpu_rps:.2f} "
+        f"reads/s host_stream={host_rps:.0f} reads/s",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -197,6 +242,8 @@ def main():
         "value": round(tpu_rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "host_stream_reads_per_s": round(host_rps, 1) if host_rps == host_rps else None,
+        "e2e_steady_bound_reads_per_s": round(e2e, 1) if e2e is not None else None,
     }))
 
 

@@ -318,28 +318,40 @@ def _final_calls(args, cfg, model, genome, contig_off, a_np, c_np, v_np,
         if not plan:
             continue
         l = len(genome[cname])
-        totals, counts = joint.partial_totals(
+        mats = joint.partial_deltas(
             plan, (metas_by_contig or {}).get(cname, []), records_by_id,
             model, cfg)
         if multihost:
-            # same flat layout on every process (identical plan): one
-            # allgather sums the shard contributions elementwise
+            # concatenate the shards' per-read matrices: pack every
+            # cluster's local rows into one NaN-padded block (identical
+            # layout on every process — the plan is identical), ONE
+            # allgather per contig, then drop the padding rows
             from jax.experimental import multihost_utils
 
-            flat = np.concatenate(
-                [np.concatenate(totals) if totals else np.zeros(0),
-                 np.asarray(counts, np.float64)])
-            summed = np.asarray(
-                multihost_utils.process_allgather(flat)).sum(axis=0)
-            off2, totals2 = 0, []
-            for t in totals:
-                totals2.append(summed[off2:off2 + len(t)])
-                off2 += len(t)
-            totals = totals2
-            counts = [int(round(v)) for v in summed[off2:]]
+            n_h = [m.shape[1] for m in mats]
+            n_loc = np.asarray([m.shape[0] for m in mats], np.int64)
+            all_n = np.asarray(multihost_utils.process_allgather(
+                n_loc)).reshape(-1, len(mats))
+            n_max = int(all_n.max()) if len(mats) else 0
+            if n_max > 0:
+                blk = np.full((n_max, int(sum(n_h))), np.nan, np.float32)
+                col = 0
+                for m in mats:
+                    blk[: m.shape[0], col:col + m.shape[1]] = m
+                    col += m.shape[1]
+                g = np.asarray(multihost_utils.process_allgather(blk)
+                               ).reshape(-1, n_max, blk.shape[1])
+                merged = []
+                col = 0
+                for ci, m in enumerate(mats):
+                    rows = [g[p, : int(all_n[p, ci]), col:col + n_h[ci]]
+                            for p in range(all_n.shape[0])]
+                    merged.append(np.concatenate(rows, axis=0))
+                    col += n_h[ci]
+                mats = merged
         all_calls.extend(joint.decide(
-            plan, totals, counts, c_np[coff:coff + l],
-            genome[cname].codes, cname, cfg))
+            plan, mats, c_np[coff:coff + l],
+            genome[cname].codes, cname, cfg, acc=a_np[coff:coff + l]))
     return all_calls
 
 

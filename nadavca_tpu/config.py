@@ -59,9 +59,24 @@ class AlignConfig:
     # every candidate cluster's hypothesis set {ref} ∪ {alt b @ p, |p-hit|<k}
     # by full re-ALIGNMENT of the same signal slice per hypothesis, and keeps
     # the argmax hypothesis.
-    snp_joint_rescore: bool = True
-    snp_joint_margin: float = 2.0   # total log-lik edge over ref required to call
+    # DEFAULT OFF after measurement (BASELINE.md 2026-08-21 joint-rescore
+    # note): on clean simulations the pass places every planted SNP at its
+    # exact position (tests/test_joint.py), but under realistic error
+    # processes (5% indels, 3% pore skips) per-read realignment deltas are
+    # heavy-tailed and occasionally coherent in the wrong direction, and
+    # every aggregation tried (raw sums, clipped sums, medians, locate-pass
+    # trimming, accumulator gating) nets slightly WORSE grid F1 than the
+    # per-position caller it refines. Kept as an opt-in pass; the
+    # adjacent-shift ambiguity remains the documented accuracy tail.
+    snp_joint_rescore: bool = False
     snp_joint_pad: int = 12         # context positions kept around the cluster
+    # the joint pass REFINES the per-position caller, never overrides it
+    # cheaply: a call moves to a different position/base only when the
+    # per-read MEDIAN delta prefers it over the caller's pick by
+    # snp_joint_repos_margin nats/read, with at least snp_joint_min_reads
+    # fully-covering reads, onto a position with accumulator alt support.
+    snp_joint_min_reads: int = 4
+    snp_joint_repos_margin: float = 25.0
     # --- batching ---
     # signal-length buckets: ~1.25x geometric steps (128-aligned) bound the
     # worst-case padding waste at ~20% (power-of-two steps measured 38% on

@@ -19,9 +19,11 @@ JOINT pass over each candidate cluster:
     levels) — the segmentation adapts to the hypothesis instead of being
     pinned to the reference alignment, and scores are comparable across
     positions;
-  * total log-likelihoods sum across reads; the argmax hypothesis wins. A
-    non-reference winner must beat the reference hypothesis by
-    cfg.snp_joint_margin to be emitted.
+  * per-read hypothesis deltas aggregate by MEDIAN across reads; the call
+    moves to the median-argmax hypothesis only when it beats the caller's
+    own pick decisively (cfg.snp_joint_repos_margin nats/read, ≥
+    cfg.snp_joint_min_reads covering reads) — the pass refines positions,
+    it never drops or cheaply overrides the per-position caller.
 
 Candidate clusters are rare (they already passed the caller's filters), so
 the pass costs one tiny batched DP — reads × hypotheses rows of a few
@@ -29,9 +31,9 @@ hundred samples — via the portable lax.scan backend (ops/banded_dp.py).
 
 Staged so multi-host works shared-nothing: :func:`cluster_plan` is a pure
 function of the (globally merged, replicated) accumulators — every process
-derives the identical plan; :func:`partial_totals` scores only the LOCAL
-shard's covering reads; the flat (totals, counts) vectors sum across
-processes (allgather + sum); :func:`decide` turns summed totals into calls.
+derives the identical plan; :func:`partial_deltas` scores only the LOCAL
+shard's covering reads; the per-read matrices concatenate across processes
+(one padded allgather per contig); :func:`decide` medians them into calls.
 """
 
 from __future__ import annotations
@@ -146,12 +148,15 @@ def cluster_plan(
     return plan
 
 
-def _read_rows(rec, span, hyps, model: KmerModel, cfg: AlignConfig):
-    """Per-read DP rows: one signal slice × (1 + len(hyps)) level sets.
+def _read_slice(rec, span, hyps, model: KmerModel, cfg: AlignConfig):
+    """One read's signal slice + per-hypothesis level sets for a cluster.
 
-    Returns (x_slice, mu_rows, sg_rows) or None when the read's anchor does
-    not place enough signal on the cluster. Coordinates: the read's window
-    is genome[wstart : wstart+wlen] (reverse-complemented when strand < 0),
+    Returns (x_slice, mu_rows (1+n_h, n_pos), sg_rows, clean_lo, clean_hi)
+    or None when the read's anchor does not place enough signal on the
+    cluster. clean_lo/clean_hi are slice K-MER positions guaranteed
+    hypothesis-INDEPENDENT (outside every perturbed k-mer) — the locate
+    pass pins the scoring window at them. Coordinates: the read's window is
+    genome[wstart : wstart+wlen] (reverse-complemented when strand < 0),
     rec.anchor_path[t] is the window K-MER position of sample t (monotone).
     """
     k = model.k
@@ -189,6 +194,8 @@ def _read_rows(rec, span, hyps, model: KmerModel, cfg: AlignConfig):
     x = rec.signal[s0:s1]
 
     codes = np.asarray(rec.window_codes[w0:w1], np.int64)
+    # k-mer positions perturbed by ANY hypothesis, in slice coords
+    pert = []
     mu_rows, sg_rows = [], []
     for hyp in [None] + list(hyps):
         c = codes
@@ -197,6 +204,7 @@ def _read_rows(rec, span, hyps, model: KmerModel, cfg: AlignConfig):
             wp = to_window(p) - w0
             if not 0 <= wp < len(c):
                 return None
+            pert += [wp - k + 1, wp]
             c = codes.copy()
             # the window stores the revcomp for reverse-strand reads, so a
             # genome-forward alt lands as its complement
@@ -204,15 +212,28 @@ def _read_rows(rec, span, hyps, model: KmerModel, cfg: AlignConfig):
         m, s = model.expected_signal(c)
         mu_rows.append(m)
         sg_rows.append(s)
-    return x, np.stack(mu_rows), np.stack(sg_rows)
+    # trim boundaries sit a few positions INTO the clean flanks: the locate
+    # pass aligns under the REFERENCE model, whose path is locally distorted
+    # around a true SNP's perturbed k-mers — a boundary adjacent to them
+    # inherits that distortion (measured: bimodal truth-hypothesis deltas).
+    buf = 4
+    clean_lo = min(pert) - buf if pert else 0
+    clean_hi = max(pert) + buf if pert else n_pos - 1
+    if clean_lo < 1 or clean_hi > n_pos - 2:
+        return None                            # no clean flank on some side
+    return x, np.stack(mu_rows), np.stack(sg_rows), clean_lo, clean_hi
 
 
-def _score_rows(xs, t_lens, mus, sgs, n_refs, cfg: AlignConfig) -> np.ndarray:
-    """Batched full-band Viterbi scores over the padded joint rows.
+def _score_rows(xs, t_lens, mus, sgs, n_refs, cfg: AlignConfig,
+                pin: bool = True, want_path: bool = False):
+    """Batched full-band Viterbi over the padded joint rows.
 
     Runs the portable lax.scan backend on the host CPU device — the batch is
     tiny (reads × hypotheses rows of ≤ T_PAD samples) and a remote-TPU
-    compile round trip would cost more than the whole pass."""
+    compile round trip would cost more than the whole pass. ``pin``
+    constrains the alignment to span position 0..n_ref-1 (see the pinned-
+    endpoint rationale in the module docstring); the locate pass runs free.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -234,14 +255,13 @@ def _score_rows(xs, t_lens, mus, sgs, n_refs, cfg: AlignConfig) -> np.ndarray:
     except RuntimeError:
         ctx = _nullctx()
     with ctx:
-        # pinned endpoints: with free ends a whole-slice shift is nearly
-        # free and adjacent hypotheses tie — the ambiguity would re-enter
-        # through the gauge freedom of the alignment itself
         res = banded_dp.banded_viterbi_batch(
             jnp.asarray(x), jnp.asarray(np.asarray(t_lens, np.int32)),
             jnp.asarray(mu), jnp.asarray(sg),
             jnp.asarray(np.asarray(n_refs, np.int32)), jnp.asarray(lo), jcfg,
-            pin_start=True, pin_end=True)
+            pin_start=pin, pin_end=pin)
+        if want_path:
+            return np.asarray(res.score), np.asarray(res.path)
         return np.asarray(res.score)
 
 
@@ -253,77 +273,154 @@ class _nullctx:
         return False
 
 
-def partial_totals(
+def partial_deltas(
     plan: Sequence[Cluster],
     metas: Sequence[ReadMeta],
     records_by_id: Dict[str, object],
     model: KmerModel,
     cfg: AlignConfig,
-) -> Tuple[List[np.ndarray], List[int]]:
-    """This shard's contribution: summed hypothesis scores + read counts.
+) -> List[np.ndarray]:
+    """This shard's per-read hypothesis-delta matrices.
 
-    totals[c] is a (1 + n_hyps,) float64 vector (reference hypothesis
-    first); counts[c] the number of local reads that contributed. Both sum
-    elementwise across processes."""
-    totals = [np.zeros(1 + len(c.hyps), np.float64) for c in plan]
-    counts = [0 for _ in plan]
-    rows_x, rows_mu, rows_sg, rows_key = [], [], [], []
+    mats[c] is (n_local_reads, 1 + n_hyps) float32: each row is one covering
+    read's alignment-score deltas vs its own reference hypothesis (column
+    0, identically 0). Matrices CONCATENATE across processes (row-wise);
+    :func:`decide` aggregates with a per-hypothesis MEDIAN across reads.
+    Sums were measured inadequate both raw (one indel-distorted read drags
+    the argmax hundreds of nats) and clipped (clean high-signal clusters
+    saturate every plausible hypothesis at the clip and tie-break
+    arbitrarily); the median is immune to both failure modes.
+
+    Two DP passes per read:
+
+    1. **Locate** (free endpoints, reference levels): the anchor places the
+       signal slice only approximately, and a pinned DP on a misplaced
+       slice shifts EVERY hypothesis's alignment coherently — selection
+       then keys on the shift, not the SNP (measured: a wrong hypothesis
+       5 positions off beat the exact true model by 30 nats/read). The
+       locate pass aligns the slice under the reference model and reads
+       off the samples of the cluster's CLEAN flanking positions (outside
+       every perturbed k-mer, where the reference model is right even when
+       a SNP is present).
+    2. **Score** (pinned endpoints, per hypothesis): on the flank-trimmed
+       window the content-derived endpoints are trustworthy, so pinning is
+       sound — and without pinning a whole-window shift is nearly free and
+       adjacent hypotheses tie (the original ambiguity re-entering through
+       the alignment's gauge freedom).
+    """
+    mats = [np.zeros((0, 1 + len(c.hyps)), np.float32) for c in plan]
+    # ---- pass 1: locate (free ends, ref levels) --------------------------
+    loc_x, loc_mu, loc_sg, loc_info = [], [], [], []
     for ci, c in enumerate(plan):
         for m in reads_covering(c.span, metas, cfg.k):
             rec = records_by_id.get(m.read_id)
             if rec is None:
                 continue
-            rr = _read_rows(rec, c.span, c.hyps, model, cfg)
+            rr = _read_slice(rec, c.span, c.hyps, model, cfg)
             if rr is None:
                 continue
-            x, mu_r, sg_r = rr
-            counts[ci] += 1
-            for h in range(1 + len(c.hyps)):
-                rows_x.append(x)
-                rows_mu.append(mu_r[h])
-                rows_sg.append(sg_r[h])
-                rows_key.append((ci, h))
-    if rows_x:
-        scores = _score_rows(
-            rows_x, [len(v) for v in rows_x], rows_mu, rows_sg,
-            [len(v) for v in rows_mu], cfg)
-        for (ci, h), s in zip(rows_key, scores):
-            totals[ci][h] += float(s)
-    return totals, counts
+            x, mu_r, sg_r, clean_lo, clean_hi = rr
+            loc_x.append(x)
+            loc_mu.append(mu_r[0])
+            loc_sg.append(sg_r[0])
+            loc_info.append((ci, x, mu_r, sg_r, clean_lo, clean_hi))
+    if not loc_x:
+        return mats
+    _, paths = _score_rows(loc_x, [len(v) for v in loc_x], loc_mu, loc_sg,
+                           [len(v) for v in loc_mu], cfg,
+                           pin=False, want_path=True)
+    # ---- pass 2: score all hypotheses on the flank-trimmed windows -------
+    rows_x, rows_mu, rows_sg, rows_key = [], [], [], []
+    counts = [0 for _ in plan]
+    for (ci, x, mu_r, sg_r, clean_lo, clean_hi), path in zip(loc_info, paths):
+        p = path[: len(x)]
+        s0 = int(np.searchsorted(p, clean_lo, side="left"))
+        s1 = int(np.searchsorted(p, clean_hi, side="right"))
+        n_pos2 = clean_hi - clean_lo + 1
+        if s1 - s0 < 2 * n_pos2:       # locate pass put too little signal on
+            continue                   # the cluster — not usable evidence
+        x2 = x[s0:s1]
+        counts[ci] += 1
+        for h in range(mu_r.shape[0]):
+            rows_x.append(x2)
+            rows_mu.append(mu_r[h, clean_lo: clean_hi + 1])
+            rows_sg.append(sg_r[h, clean_lo: clean_hi + 1])
+            rows_key.append((ci, h, counts[ci] - 1))
+    if not rows_x:
+        return mats
+    scores = _score_rows(
+        rows_x, [len(v) for v in rows_x], rows_mu, rows_sg,
+        [len(v) for v in rows_mu], cfg, pin=True)
+    mats = [np.zeros((n, 1 + len(c.hyps)), np.float32)
+            for n, c in zip(counts, plan)]
+    for (ci, h, ri), s in zip(rows_key, scores):
+        mats[ci][ri, h] = float(s)
+    return [m - m[:, :1] for m in mats]   # deltas vs own-ref score
 
 
 def decide(
     plan: Sequence[Cluster],
-    totals: Sequence[np.ndarray],
-    counts: Sequence[int],
+    mats: Sequence[np.ndarray],
     cov: np.ndarray,
     ref_codes: np.ndarray,
     contig: str,
     cfg: AlignConfig,
+    acc: Optional[np.ndarray] = None,
 ) -> List[callmod.SnpCall]:
-    """Summed hypothesis totals → final calls for one contig."""
+    """Summed hypothesis totals → final calls for one contig.
+
+    The joint pass is a REFINER of the per-position caller, not a
+    replacement: every cluster emits a call (the caller already filtered by
+    posterior/coverage/votes), at the caller's pick by default. The call
+    moves to the joint argmax only when the joint evidence is substantial
+    (≥ snp_joint_min_reads fully-covering reads) and decisively prefers the
+    new position — ≥ snp_joint_repos_margin (~one clipped read-equivalent)
+    over the caller's own hypothesis. BASE identity at a repositioned site
+    defers to the accumulator ``acc`` when it carries alt evidence there —
+    the local-window model is the better-calibrated base discriminator.
+    (Measured on the accuracy grid, 2026-08-21: an unconditional
+    drop-and-replace rule was strictly worse at 4-8x coverage; this
+    conservative rule keeps the caller's behavior except where realignment
+    has real evidence of an adjacent shift.)"""
     calls: List[callmod.SnpCall] = []
     cov = np.asarray(cov)
-    for c, total, n in zip(plan, totals, counts):
-        if n == 0 or not c.hyps:
-            # no re-alignable evidence anywhere: keep the per-position
-            # caller's strongest hit for this cluster
-            calls.append(callmod.SnpCall(
-                contig=contig, position=c.fallback_pos,
-                ref_base=_BASES[int(ref_codes[c.fallback_pos])],
-                alt_base=_BASES[c.fallback_base],
-                probability=c.fallback_prob,
-                coverage=int(cov[c.fallback_pos])))
-            continue
-        ref_total = float(total[0])
-        alt_idx = int(np.argmax(total[1:]))
-        p_star, b_star = c.hyps[alt_idx]
-        edge = float(total[1 + alt_idx]) - ref_total
-        if edge < cfg.snp_joint_margin:
-            continue                             # reference explains it best
-        # posterior over the hypothesis set (uniform prior)
-        t = np.asarray(total) - np.max(total)
-        prob = float(np.exp(t[1 + alt_idx]) / np.exp(t).sum())
+    acc = np.asarray(acc) if acc is not None else None
+    for c, mat in zip(plan, mats):
+        p_star, b_star = c.fallback_pos, c.fallback_base
+        prob = c.fallback_prob
+        n = mat.shape[0]
+        try:
+            fb_idx = c.hyps.index((c.fallback_pos, c.fallback_base))
+        except ValueError:
+            fb_idx = None
+        if n >= cfg.snp_joint_min_reads and c.hyps and fb_idx is not None:
+            med = np.median(mat.astype(np.float64), axis=0)  # (1 + n_h,)
+            # repositioning targets are gated on per-position accumulator
+            # support: the realignment median can mildly prefer a shifted
+            # same-base hypothesis at a position the per-position model sees
+            # NOTHING at (clean-world measurement) — a real shifted SNP
+            # always leaves sub-threshold accumulator evidence at the true
+            # position, so require acc's argmax there to be non-reference.
+            gated = []
+            for hi, (p, b) in enumerate(c.hyps):
+                if acc is None:
+                    gated.append(hi)
+                elif int(np.argmax(acc[p])) != int(ref_codes[p]):
+                    gated.append(hi)
+            if gated:
+                alt_idx = max(gated, key=lambda hi: med[1 + hi])
+                edge_vs_fb = float(med[1 + alt_idx] - med[1 + fb_idx])
+                if (alt_idx != fb_idx
+                        and edge_vs_fb >= cfg.snp_joint_repos_margin):
+                    p_star = c.hyps[alt_idx][0]
+                    b_star = c.hyps[alt_idx][1]
+                    if acc is not None:
+                        acc_best = int(np.argmax(acc[p_star]))
+                        if acc_best != int(ref_codes[p_star]):
+                            b_star = acc_best
+                    # per-read-representative posterior over the hypotheses
+                    t = med - med.max()
+                    prob = float(np.exp(t[1 + alt_idx]) / np.exp(t).sum())
         calls.append(callmod.SnpCall(
             contig=contig, position=int(p_star),
             ref_base=_BASES[int(ref_codes[p_star])], alt_base=_BASES[b_star],
@@ -358,5 +455,5 @@ def refine_contig_calls(
                         min_coverage=min_coverage)
     if not plan:
         return []
-    totals, counts = partial_totals(plan, metas, records_by_id, model, cfg)
-    return decide(plan, totals, counts, cov, ref_codes, contig, cfg)
+    mats = partial_deltas(plan, metas, records_by_id, model, cfg)
+    return decide(plan, mats, cov, ref_codes, contig, cfg, acc=acc)

@@ -67,26 +67,30 @@ def _sim_world(tmp_path, seed=3, snps=2):
 
 
 def test_joint_calls_exact_positions(tmp_path):
-    """The joint pass places every planted SNP at its exact position (the
-    per-position model is allowed to shift within k; joint is not)."""
-    from nadavca_tpu import api
-
-    d, truth = _sim_world(tmp_path)
-    calls = api.call_snps(f"{d}/reference.fasta", d, backend="scan",
-                          min_coverage=3, workers=2)
-    assert {c.position: c.alt_base for c in calls} == truth
-
-
-def test_joint_off_matches_legacy(tmp_path):
-    """snp_joint_rescore=False preserves the per-position caller exactly."""
+    """With the opt-in joint pass ON, every planted SNP lands at its exact
+    position on clean simulations (the per-position model may shift within
+    k; joint repositioning corrects it). The pass defaults OFF — see the
+    config note and BASELINE.md for the measured realistic-grid outcome."""
     import dataclasses
 
     from nadavca_tpu import api
 
-    d, truth = _sim_world(tmp_path, seed=5)
-    cfg = dataclasses.replace(AlignConfig(), snp_joint_rescore=False)
+    d, truth = _sim_world(tmp_path)
+    cfg = dataclasses.replace(AlignConfig(), snp_joint_rescore=True)
     calls = api.call_snps(f"{d}/reference.fasta", d, backend="scan",
                           config=cfg, min_coverage=3, workers=2)
+    assert {c.position: c.alt_base for c in calls} == truth
+
+
+def test_joint_default_off_matches_legacy(tmp_path):
+    """The default config preserves the per-position caller exactly."""
+    from nadavca_tpu import api
+
+    d, truth = _sim_world(tmp_path, seed=5)
+    cfg = AlignConfig()
+    assert not cfg.snp_joint_rescore
+    calls = api.call_snps(f"{d}/reference.fasta", d, backend="scan",
+                          min_coverage=3, workers=2)
     # legacy path may shift within k but must find evidence near each truth
     for p in truth:
         assert any(abs(c.position - p) < cfg.k for c in calls), (p, calls)
