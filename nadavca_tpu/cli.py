@@ -392,7 +392,13 @@ def cmd_align(args) -> int:
     n_done = 0
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
-        pad_to = _round_up(max(len(group), 1), gcfg.read_tile * n_dev)
+        # canonical read-axis padding: every batch of a bucket shares ONE
+        # executable. Partial flush batches padded to their own size were
+        # each a fresh compile — measured 4096-read soak: ~140 s of
+        # executable loads for a 22 s compute job (the padded rows cost
+        # ~ms of device time)
+        pad_to = _round_up(max(len(group), 1, args.batch_reads),
+                           gcfg.read_tile * n_dev)
         batch = assemble_batch(group, model, gcfg, pad_reads_to=pad_to)
         staged = stage_batch(batch, model, gcfg, args.backend, subst=subst)
         if mesh is not None:
@@ -445,7 +451,12 @@ def cmd_align(args) -> int:
     # ingest + prep of later reads also overlap this loop's device work.
     for group, gcfg, batch, staged in _prefetched(
             _stream_groups(records, args.batch_reads, cfg), _prep):
-        waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
+        # signal-axis waste over the TRUE reads (canonical read-axis padding
+        # deliberately inflates row count on flush batches — one executable
+        # per bucket is worth ~ms of padded-row compute)
+        n_true = max(batch.n_reads, 1)
+        waste = 1.0 - (float(batch.t_len[:n_true].sum())
+                       / (n_true * batch.x.shape[1]))
         metrics.gauge("padding_waste", waste)
         out = _run_batch(gcfg, batch, staged)
         pending.append((group, batch, out))
@@ -751,7 +762,9 @@ def cmd_snp(args) -> int:
 
     def _prep(group):
         gcfg = _cfg_for_group(cfg, group)
-        pad_to = _round_up(max(len(group), 1), gcfg.read_tile * n_dev)
+        # canonical read-axis padding — see cmd_align._prep
+        pad_to = _round_up(max(len(group), 1, args.batch_reads),
+                           gcfg.read_tile * n_dev)
         batch = assemble_batch(group, model, gcfg, pad_reads_to=pad_to)
         staged = sharded.shard_staged(mesh, gcfg, stage_batch(
             batch, model, gcfg, args.backend, subst=subst))
@@ -798,7 +811,12 @@ def cmd_snp(args) -> int:
     pending = collections.deque()
     for group, gcfg, batch, staged, extra in _prefetched(
             _stream_groups(records, args.batch_reads, cfg), _prep):
-        waste = 1.0 - float(batch.t_len.sum()) / (batch.x.shape[0] * batch.x.shape[1])
+        # signal-axis waste over the TRUE reads (canonical read-axis padding
+        # deliberately inflates row count on flush batches — one executable
+        # per bucket is worth ~ms of padded-row compute)
+        n_true = max(batch.n_reads, 1)
+        waste = 1.0 - (float(batch.t_len[:n_true].sum())
+                       / (n_true * batch.x.shape[1]))
         metrics.gauge("padding_waste", waste)
         shape_key = (batch.shapes, gcfg.band_width)
         known = shape_key in seen_shapes
