@@ -39,13 +39,6 @@ def _load_model(args, cfg) -> KmerModel:
     return default_model(cfg.k)
 
 
-def _iter_batches(records, batch_reads):
-    # bucket by signal length so padding waste stays low
-    records = sorted(records, key=lambda r: len(r.signal))
-    for i in range(0, len(records), batch_reads):
-        yield records[i : i + batch_reads]
-
-
 def _stream_groups(records, batch_reads, cfg):
     """Group a STREAM of records into length-bucketed batches on the fly.
 
