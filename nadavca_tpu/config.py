@@ -77,6 +77,23 @@ class AlignConfig:
     # fully-covering reads, onto a position with accumulator alt support.
     snp_joint_min_reads: int = 4
     snp_joint_repos_margin: float = 25.0
+    # indel-tolerant joint slice scoring (VERDICT r4 next-round task 1b):
+    # the r4 postmortem localized the joint pass's failures to READ-level
+    # contamination — the simulator's 3% pore-skip process forces the
+    # no-skip slice DP to misattribute samples (a skipped position must
+    # still absorb >=1 sample), producing the heavy-tailed, occasionally
+    # coherent-wrong per-read deltas. With snp_joint_skip the slice DPs
+    # (locate + score) run with the skip transition enabled at
+    # snp_joint_log_p_skip, so a genuinely skipped position costs one
+    # bounded penalty instead of a distorted alignment.
+    snp_joint_skip: bool = False
+    snp_joint_log_p_skip: float = -3.5
+    # exclude contaminated reads from the joint evidence (task 1a): a read's
+    # locate-pass alignment yields a per-read quality score (mean per-sample
+    # emission log-lik over the scored slice); reads more than
+    # snp_joint_filter_mad MADs below the cluster median are dropped from
+    # the delta matrix before aggregation. 0 disables the filter.
+    snp_joint_filter_mad: float = 0.0
     # --- batching ---
     # signal-length buckets: ~1.25x geometric steps (128-aligned) bound the
     # worst-case padding waste at ~20% (power-of-two steps measured 38% on

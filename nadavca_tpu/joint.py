@@ -225,7 +225,8 @@ def _read_slice(rec, span, hyps, model: KmerModel, cfg: AlignConfig):
 
 
 def _score_rows(xs, t_lens, mus, sgs, n_refs, cfg: AlignConfig,
-                pin: bool = True, want_path: bool = False):
+                pin: bool = True, want_path: bool = False,
+                use_skip: bool = False):
     """Batched full-band Viterbi over the padded joint rows.
 
     Runs the portable lax.scan backend on the host CPU device — the batch is
@@ -233,13 +234,19 @@ def _score_rows(xs, t_lens, mus, sgs, n_refs, cfg: AlignConfig,
     compile round trip would cost more than the whole pass. ``pin``
     constrains the alignment to span position 0..n_ref-1 (see the pinned-
     endpoint rationale in the module docstring); the locate pass runs free.
+    ``use_skip`` enables the skip transition at cfg.snp_joint_log_p_skip —
+    the indel-tolerant slice model (a pore-skipped position costs one
+    bounded penalty instead of a forced misalignment).
     """
     import jax
     import jax.numpy as jnp
 
     from .ops import banded_dp
 
-    jcfg = dataclasses.replace(cfg, band_width=128, band_width_long=128)
+    jcfg = dataclasses.replace(cfg, band_width=128, band_width_long=128,
+                               use_skip=use_skip,
+                               log_p_skip=(cfg.snp_joint_log_p_skip
+                                           if use_skip else cfg.log_p_skip))
     R = len(xs)
     x = np.zeros((R, T_PAD), np.float32)
     mu = np.zeros((R, N_PAD), np.float32)
@@ -279,17 +286,28 @@ def partial_deltas(
     records_by_id: Dict[str, object],
     model: KmerModel,
     cfg: AlignConfig,
+    diag_out: Optional[list] = None,
 ) -> List[np.ndarray]:
     """This shard's per-read hypothesis-delta matrices.
 
-    mats[c] is (n_local_reads, 1 + n_hyps) float32: each row is one covering
-    read's alignment-score deltas vs its own reference hypothesis (column
-    0, identically 0). Matrices CONCATENATE across processes (row-wise);
-    :func:`decide` aggregates with a per-hypothesis MEDIAN across reads.
-    Sums were measured inadequate both raw (one indel-distorted read drags
-    the argmax hundreds of nats) and clipped (clean high-signal clusters
-    saturate every plausible hypothesis at the clip and tie-break
-    arbitrarily); the median is immune to both failure modes.
+    mats[c] is (n_local_reads, 1 + n_hyps + 1) float32: each row is one
+    covering read's alignment-score deltas vs its own reference hypothesis
+    (column 0, identically 0), plus a trailing per-read QUALITY column —
+    max-over-hypotheses score per scored sample. Contaminated reads
+    (pore-skip/indel-distorted slices) fit poorly under EVERY hypothesis,
+    so their quality is low regardless of whether they carry the SNP;
+    :func:`decide` can drop them by robust z-score
+    (cfg.snp_joint_filter_mad) before aggregating. Matrices CONCATENATE
+    across processes (row-wise); :func:`decide` aggregates the delta
+    columns with a per-hypothesis MEDIAN across reads. Sums were measured
+    inadequate both raw (one indel-distorted read drags the argmax hundreds
+    of nats) and clipped (clean high-signal clusters saturate every
+    plausible hypothesis at the clip and tie-break arbitrarily); the median
+    is immune to both failure modes.
+
+    ``diag_out``, if a list, receives one dict per accepted row
+    (ci, ri, read_id, qual, n_samp) for offline analysis
+    (scripts/joint_lab.py).
 
     Two DP passes per read:
 
@@ -308,7 +326,7 @@ def partial_deltas(
        adjacent hypotheses tie (the original ambiguity re-entering through
        the alignment's gauge freedom).
     """
-    mats = [np.zeros((0, 1 + len(c.hyps)), np.float32) for c in plan]
+    mats = [np.zeros((0, 2 + len(c.hyps)), np.float32) for c in plan]
     # ---- pass 1: locate (free ends, ref levels) --------------------------
     loc_x, loc_mu, loc_sg, loc_info = [], [], [], []
     for ci, c in enumerate(plan):
@@ -323,16 +341,20 @@ def partial_deltas(
             loc_x.append(x)
             loc_mu.append(mu_r[0])
             loc_sg.append(sg_r[0])
-            loc_info.append((ci, x, mu_r, sg_r, clean_lo, clean_hi))
+            loc_info.append((ci, m.read_id, x, mu_r, sg_r,
+                             clean_lo, clean_hi))
     if not loc_x:
         return mats
     _, paths = _score_rows(loc_x, [len(v) for v in loc_x], loc_mu, loc_sg,
                            [len(v) for v in loc_mu], cfg,
-                           pin=False, want_path=True)
+                           pin=False, want_path=True,
+                           use_skip=cfg.snp_joint_skip)
     # ---- pass 2: score all hypotheses on the flank-trimmed windows -------
     rows_x, rows_mu, rows_sg, rows_key = [], [], [], []
     counts = [0 for _ in plan]
-    for (ci, x, mu_r, sg_r, clean_lo, clean_hi), path in zip(loc_info, paths):
+    row_meta = []
+    for (ci, rid, x, mu_r, sg_r, clean_lo, clean_hi), path in zip(
+            loc_info, paths):
         p = path[: len(x)]
         s0 = int(np.searchsorted(p, clean_lo, side="left"))
         s1 = int(np.searchsorted(p, clean_hi, side="right"))
@@ -341,6 +363,7 @@ def partial_deltas(
             continue                   # the cluster — not usable evidence
         x2 = x[s0:s1]
         counts[ci] += 1
+        row_meta.append((ci, counts[ci] - 1, rid, len(x2)))
         for h in range(mu_r.shape[0]):
             rows_x.append(x2)
             rows_mu.append(mu_r[h, clean_lo: clean_hi + 1])
@@ -350,12 +373,27 @@ def partial_deltas(
         return mats
     scores = _score_rows(
         rows_x, [len(v) for v in rows_x], rows_mu, rows_sg,
-        [len(v) for v in rows_mu], cfg, pin=True)
-    mats = [np.zeros((n, 1 + len(c.hyps)), np.float32)
+        [len(v) for v in rows_mu], cfg, pin=True,
+        use_skip=cfg.snp_joint_skip)
+    mats = [np.zeros((n, 2 + len(c.hyps)), np.float32)
             for n, c in zip(counts, plan)]
     for (ci, h, ri), s in zip(rows_key, scores):
         mats[ci][ri, h] = float(s)
-    return [m - m[:, :1] for m in mats]   # deltas vs own-ref score
+    out = []
+    for m in mats:
+        d = m[:, :-1] - m[:, :1]             # deltas vs own-ref score
+        # quality: best absolute fit per scored sample — contamination
+        # (misattributed samples) depresses EVERY hypothesis's fit, a true
+        # SNP only the reference's
+        qual = m[:, :-1].max(axis=1, keepdims=True)
+        out.append(np.concatenate([d, qual], axis=1))
+    for (ci, ri, rid, n_samp) in row_meta:
+        out[ci][ri, -1] /= max(n_samp, 1)
+        if diag_out is not None:
+            diag_out.append(dict(ci=ci, ri=ri, read_id=rid,
+                                 qual=float(out[ci][ri, -1]),
+                                 n_samp=n_samp))
+    return out
 
 
 def decide(
@@ -388,6 +426,16 @@ def decide(
     for c, mat in zip(plan, mats):
         p_star, b_star = c.fallback_pos, c.fallback_base
         prob = c.fallback_prob
+        # trailing column = per-read quality (see partial_deltas); the
+        # delta columns are everything before it
+        qual = mat[:, -1].astype(np.float64)
+        mat = mat[:, :-1]
+        if cfg.snp_joint_filter_mad > 0 and mat.shape[0] >= 3:
+            med_q = np.median(qual)
+            mad = np.median(np.abs(qual - med_q))
+            if mad > 0:
+                keep = qual >= med_q - cfg.snp_joint_filter_mad * mad
+                mat = mat[keep]
         n = mat.shape[0]
         try:
             fb_idx = c.hyps.index((c.fallback_pos, c.fallback_base))

@@ -134,86 +134,104 @@ def path_counts_pallas(path_safe, n_lanes: int, t_len=None, rt: int = 64,
 
 
 def _rescore_dp_body(xs_ref, em, mu, iv, w_ref, kk_ref, cod_ref, out_ref, wm,
-                     *, k, t_w, log_p_stay, log_p_move):
-    """Shared local-DP body: em/mu/iv are (k, 4, RT, LT) VALUES."""
+                     *, k, t_w, log_p_stay, log_p_move, rt=RT,
+                     unroll2=False):
+    """Shared local-DP body: em/mu/iv are (k, 4, rt, LT) VALUES."""
     w = w_ref[:]
 
-    x0 = xs_ref[0]                                   # (RT, LT)
+    x0 = xs_ref[0]                                   # (rt, LT)
     d0 = x0[None, None] - mu
     emit0 = em - d0 * d0 * iv
-    init_mask = jax.lax.broadcasted_iota(jnp.int32, (k, 4, RT, LT), 0) == 0
+    init_mask = jax.lax.broadcasted_iota(jnp.int32, (k, 4, rt, LT), 0) == 0
     v0 = jnp.where(init_mask, emit0, NEG_INF)
 
-    neg_row = jnp.full((1, 4, RT, LT), NEG_INF, jnp.float32)
+    neg_row = jnp.full((1, 4, rt, LT), NEG_INF, jnp.float32)
 
-    def body(s, v):
-        x = xs_ref[pl.ds(s, 1)][0]                   # (RT, LT)
+    def one_step(s, v):
+        # clamp the load (an unrolled trailing step can touch s == t_w);
+        # the active mask makes any s >= w step an exact identity
+        x = xs_ref[pl.ds(jnp.minimum(s, t_w - 1), 1)][0]     # (rt, LT)
         d = x[None, None] - mu
         emit = em - d * d * iv
         stay = v + log_p_stay
         move = jnp.concatenate([neg_row, v[: k - 1]], axis=0) + log_p_move
         v_new = emit + jnp.maximum(stay, move)
-        active = (s < w)[None, None]                 # (1, 1, RT, LT)
+        active = (s < w)[None, None]                 # (1, 1, rt, LT)
         return jnp.where(active, v_new, v)
 
     # dynamic trip count: steps s >= max(W) of this tile are identity for
     # every lane (the active mask), so stopping at the tile's own max is
     # exact. Typical windows are ~k·dwell ≈ 60 samples vs the static
     # t_w = 192 bound — most tiles run 2–3× fewer steps.
-    v = jax.lax.fori_loop(1, jnp.minimum(wm, t_w), body, v0)
+    n_live = jnp.minimum(wm, t_w) - 1                # steps s = 1..wm-1
+    if unroll2:
+        # two DP samples per trip — identical op sequence per sample (the
+        # masked trailing step is an exact identity), halves loop overhead
+        def body2(i, v):
+            s = 1 + 2 * i
+            return one_step(s + 1, one_step(s, v))
 
-    kk1 = kk_ref[:] - 1                               # (RT, LT)
-    out = jnp.zeros((4, RT, LT), jnp.float32)
+        v = jax.lax.fori_loop(0, (n_live + 1) // 2, body2, v0)
+    else:
+        v = jax.lax.fori_loop(1, n_live + 1, lambda s, v: one_step(s, v), v0)
+
+    kk1 = kk_ref[:] - 1                               # (rt, LT)
+    out = jnp.zeros((4, rt, LT), jnp.float32)
     for j in range(k):
         out = out + jnp.where((kk1 == j)[None], v[j], 0.0)
     # subtract the reference base's score in-kernel (an XLA take_along_axis
     # over (R, L) lowers to a serialized per-element gather)
     cod = cod_ref[:]
-    ref = jnp.zeros((RT, LT), jnp.float32)
+    ref = jnp.zeros((rt, LT), jnp.float32)
     for b in range(4):
         ref = ref + jnp.where(cod == b, out[b], 0.0)
     out_ref[:] = out - ref[None]
 
 
 def _rescore_kernel(
-    wm_ref,    # (R//RT, L//LT) i32 scalar-prefetch: max live W per tile
-    xs_ref,    # (t_w, RT, LT) f32: sample s of each position's window
-    em_ref,    # (k*4, RT, LT) f32: -log sigma' - c, NEG_INF at dead (j, b)
-    mu_ref,    # (k*4, RT, LT) f32: substituted level means
-    iv_ref,    # (k*4, RT, LT) f32: 0.5 / sigma'^2
-    w_ref,     # (RT, LT) i32: live window length per position
-    kk_ref,    # (RT, LT) i32: number of live window slots (<= k)
-    cod_ref,   # (RT, LT) i32: reference base per position (4 = pad)
-    out_ref,   # (4, RT, LT) f32: DP scores per base MINUS the ref base's
+    wm_ref,    # (R//rt, L//LT) i32 scalar-prefetch: max live W per tile
+    xs_ref,    # (t_w, rt, LT) f32: sample s of each position's window
+    em_ref,    # (k*4, rt, LT) f32: -log sigma' - c, NEG_INF at dead (j, b)
+    mu_ref,    # (k*4, rt, LT) f32: substituted level means
+    iv_ref,    # (k*4, rt, LT) f32: 0.5 / sigma'^2
+    w_ref,     # (rt, LT) i32: live window length per position
+    kk_ref,    # (rt, LT) i32: number of live window slots (<= k)
+    cod_ref,   # (rt, LT) i32: reference base per position (4 = pad)
+    out_ref,   # (4, rt, LT) f32: DP scores per base MINUS the ref base's
     *,
     k: int,
     t_w: int,
     log_p_stay: float,
     log_p_move: float,
+    rt: int,
+    unroll2: bool,
 ):
     wm = wm_ref[pl.program_id(0), pl.program_id(1)]
     _rescore_dp_body(
-        xs_ref, em_ref[:].reshape(k, 4, RT, LT),
-        mu_ref[:].reshape(k, 4, RT, LT), iv_ref[:].reshape(k, 4, RT, LT),
+        xs_ref, em_ref[:].reshape(k, 4, rt, LT),
+        mu_ref[:].reshape(k, 4, rt, LT), iv_ref[:].reshape(k, 4, rt, LT),
         w_ref, kk_ref, cod_ref, out_ref, wm,
-        k=k, t_w=t_w, log_p_stay=log_p_stay, log_p_move=log_p_move)
+        k=k, t_w=t_w, log_p_stay=log_p_stay, log_p_move=log_p_move,
+        rt=rt, unroll2=unroll2)
 
 
 def _rescore_tab_kernel(
-    wm_ref,    # (R//RT, L//LT) i32 scalar-prefetch
+    wm_ref,    # (R//rt, L//LT) i32 scalar-prefetch
     woff_ref,  # (R,) i32 scalar-prefetch: table column offset per read
-    xs_ref,    # (t_w, RT, LT) f32
+    xs_ref,    # (t_w, rt, LT) f32
     tab_ref,   # (3, k*4, rowsP//128, 1, 128) f32 in ANY memory (HBM): the
                # stacked [em, mu, iv] genome tables (SubstTables.tab4)
-    w_ref, kk_ref, cod_ref,      # (RT, LT) i32
-    out_ref,   # (4, RT, LT) f32
-    tscr,      # (3, k*4, RT, 2, 128) f32 VMEM scratch: two coarse blocks/read
-    sem,       # (RT,) DMA semaphores
+    w_ref, kk_ref, cod_ref,      # (rt, LT) i32
+    out_ref,   # (4, rt, LT) f32
+    tscr,      # (3, k*4, rt, 2, 128) f32 VMEM scratch: two coarse blocks/read
+    sem,       # (rt,) DMA semaphores
     *,
     k: int,
     t_w: int,
     log_p_stay: float,
     log_p_move: float,
+    rt: int,
+    unroll2: bool,
 ):
     """Tables variant: each tile fetches its own (3, k*4, 128) table slice
     straight from the genome-level HBM table by DMA. DMA lane offsets must be
@@ -226,8 +244,8 @@ def _rescore_tab_kernel(
     """
     r = pl.program_id(0)
     l = pl.program_id(1)
-    for rr in range(RT):
-        off = woff_ref[r * RT + rr] + l * LT
+    for rr in range(rt):
+        off = woff_ref[r * rt + rr] + l * LT
         pltpu.make_async_copy(
             tab_ref.at[:, :, pl.ds(off // 128, 2), 0, :],
             tscr.at[:, :, rr, :, :], sem.at[rr],
@@ -235,8 +253,8 @@ def _rescore_tab_kernel(
     k4 = k * 4
     lane = jax.lax.broadcasted_iota(jnp.int32, (3 * k4, 128), 1)
     parts = []
-    for rr in range(RT):
-        off = woff_ref[r * RT + rr] + l * LT
+    for rr in range(rt):
+        off = woff_ref[r * rt + rr] + l * LT
         pltpu.make_async_copy(
             tab_ref.at[:, :, pl.ds(off // 128, 2), 0, :],
             tscr.at[:, :, rr, :, :], sem.at[rr],
@@ -249,45 +267,47 @@ def _rescore_tab_kernel(
         rot0 = pltpu.roll(b0, 128 - ro, axis=1)
         rot1 = pltpu.roll(b1, 128 - ro, axis=1)
         parts.append(jnp.where(lane < 128 - ro, rot0, rot1))  # (3*k4, 128)
-    tabs = jnp.stack(parts, axis=1).reshape(3, k4, RT, LT)
-    em = tabs[0].reshape(k, 4, RT, LT)
-    mu = tabs[1].reshape(k, 4, RT, LT)
-    iv = tabs[2].reshape(k, 4, RT, LT)
+    tabs = jnp.stack(parts, axis=1).reshape(3, k4, rt, LT)
+    em = tabs[0].reshape(k, 4, rt, LT)
+    mu = tabs[1].reshape(k, 4, rt, LT)
+    iv = tabs[2].reshape(k, 4, rt, LT)
     wm = wm_ref[r, l]
     _rescore_dp_body(xs_ref, em, mu, iv, w_ref, kk_ref, cod_ref, out_ref, wm,
                      k=k, t_w=t_w, log_p_stay=log_p_stay,
-                     log_p_move=log_p_move)
+                     log_p_move=log_p_move, rt=rt, unroll2=unroll2)
 
 
 def rescore_fill_pallas(xs, em, mu, iv, w, kk, codes, cfg: AlignConfig,
-                        t_w: int, interpret: bool = False):
+                        t_w: int, interpret: bool = False, rt: int = RT,
+                        unroll2: bool = False):
     """Run the rescore kernel. Shapes: xs (t_w, R, L); em/mu/iv (k*4, R, L);
     w/kk/codes (R, L). Returns scores (4, R, L), already relative to the
     reference base (codes) per position."""
     k = cfg.k
     _, R, L = xs.shape
-    assert R % RT == 0 and L % LT == 0, (R, L)
+    assert R % rt == 0 and L % LT == 0, (R, L)
     kernel = functools.partial(
         _rescore_kernel, k=k, t_w=t_w,
         log_p_stay=cfg.log_p_stay, log_p_move=cfg.log_p_move,
+        rt=rt, unroll2=unroll2,
     )
-    grid = (R // RT, L // LT)
+    grid = (R // rt, L // LT)
     wmax = jnp.max(
-        w.reshape(R // RT, RT, L // LT, LT), axis=(1, 3)
-    ).astype(jnp.int32)                              # (R//RT, L//LT)
+        w.reshape(R // rt, rt, L // LT, LT), axis=(1, 3)
+    ).astype(jnp.int32)                              # (R//rt, L//LT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t_w, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * 4, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * 4, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * 4, RT, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_w, rt, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, rt, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, rt, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 4, rt, LT), lambda r, l, *_: (0, r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, RT, LT), lambda r, l, *_: (0, r, l),
+        out_specs=pl.BlockSpec((4, rt, LT), lambda r, l, *_: (0, r, l),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -304,38 +324,40 @@ def rescore_fill_pallas(xs, em, mu, iv, w, kk, codes, cfg: AlignConfig,
 
 
 def rescore_fill_tab_pallas(xs, w, kk, codes, woff, tab4, cfg: AlignConfig,
-                            t_w: int, interpret: bool = False):
+                            t_w: int, interpret: bool = False, rt: int = RT,
+                            unroll2: bool = False):
     """Tables variant of rescore_fill_pallas: the kernel DMAs its own table
     slices from the genome-level stacked table (SubstTables.tab4). Shapes:
     xs (t_w, R, L); w/kk/codes (R, L); woff (R,) i32. Returns (4, R, L),
     ref-relative."""
     k = cfg.k
     _, R, L = xs.shape
-    assert R % RT == 0 and L % LT == 0, (R, L)
+    assert R % rt == 0 and L % LT == 0, (R, L)
     kernel = functools.partial(
         _rescore_tab_kernel, k=k, t_w=t_w,
         log_p_stay=cfg.log_p_stay, log_p_move=cfg.log_p_move,
+        rt=rt, unroll2=unroll2,
     )
-    grid = (R // RT, L // LT)
+    grid = (R // rt, L // LT)
     wmax = jnp.max(
-        w.reshape(R // RT, RT, L // LT, LT), axis=(1, 3)
+        w.reshape(R // rt, rt, L // LT, LT), axis=(1, 3)
     ).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t_w, RT, LT), lambda r, l, *_: (0, r, l),
+            pl.BlockSpec((t_w, rt, LT), lambda r, l, *_: (0, r, l),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, LT), lambda r, l, *_: (r, l), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, RT, LT), lambda r, l, *_: (0, r, l),
+        out_specs=pl.BlockSpec((4, rt, LT), lambda r, l, *_: (0, r, l),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, k * 4, RT, 2, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((RT,)),
+            pltpu.VMEM((3, k * 4, rt, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((rt,)),
         ],
     )
     return pl.pallas_call(
@@ -352,7 +374,8 @@ def rescore_fill_tab_pallas(xs, w, kk, codes, woff, tab4, cfg: AlignConfig,
       kk.astype(jnp.int32), codes.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t_w", "cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "t_w", "cfg", "interpret",
+                                             "rt", "unroll2"))
 def base_loglik_local_pallas(
     x: jax.Array,             # (R, T) f32
     path: jax.Array,          # (R, T) i32
@@ -370,6 +393,8 @@ def base_loglik_local_pallas(
                                     # SubstTables.tab4)
     tables_valid: jax.Array = None, # (rowsP,) bool
     window_off: jax.Array = None,   # (R,) i32 column offset per read
+    rt: int = RT,                   # DP-kernel sublane tile (ablation knob)
+    unroll2: bool = False,          # 2 DP samples per trip (exact; ablation)
 ) -> jax.Array:
     """(R, L, 4) base log-likelihoods — Pallas version of
     banded_dp.base_loglik_local_batch (same contract, same results)."""
@@ -487,7 +512,7 @@ def base_loglik_local_pallas(
         iv_kl = to_kernel_layout(iv)
 
     # pad to kernel tile multiples (padding lanes are dead: W=0, em=NEG_INF)
-    Rp = -(-R // RT) * RT
+    Rp = -(-R // rt) * rt
     Lp = -(-L // LT) * LT
     pr, plp = Rp - R, Lp - L
 
@@ -500,7 +525,7 @@ def base_loglik_local_pallas(
             pad(xs), pad(W.astype(jnp.int32)), pad(kk.astype(jnp.int32), 1),
             pad(jnp.clip(ref_base, 0, 3), 0.0),
             jnp.pad(window_off.astype(jnp.int32), (0, pr)), tables_tab,
-            cfg, t_w, interpret=interpret,
+            cfg, t_w, interpret=interpret, rt=rt, unroll2=unroll2,
         )[:, :R, :L]                                   # (4, R, L), ref-relative
     else:
         scores = rescore_fill_pallas(
@@ -509,7 +534,7 @@ def base_loglik_local_pallas(
             pad(iv_kl.astype(jnp.float32), 1.0),
             pad(W.astype(jnp.int32)), pad(kk.astype(jnp.int32), 1),
             pad(jnp.clip(ref_base, 0, 3), 0.0), cfg, t_w,
-            interpret=interpret,
+            interpret=interpret, rt=rt, unroll2=unroll2,
         )[:, :R, :L]                                   # (4, R, L), ref-relative
     out = jnp.transpose(scores, (1, 2, 0))             # (R, L, 4)
     all_ok = valid_i & (W > 0) & jnp.all(jnp.where(j_ok, ids_ok, True), axis=2)
