@@ -11,11 +11,11 @@ Three parts, one run:
    tests), mirroring the fill kernel's read_tile result (+13% at wider
    tiles, BASELINE.md 2026-08-21).
 3. Screen-fraction measurement: what fraction of (read, position) cells
-   could a screen-then-rescore split skip? A position can be skipped iff
-   EVERY alt's cheap fixed-path delta is below -(snp_ll_clip + margin): the
-   exact local-DP delta would clip to -snp_ll_clip anyway, so the full DP
-   adds no information there. This measures the available win before
-   building the sparse kernel.
+   could a screen-then-rescore split skip, IF fixed-path deltas predicted
+   post-clip coldness. NOTE (round 5): they do not — the premise is
+   REFUTED by scripts/screen_refutation.py (realignment rescues reach
+   thousands of nats and 4-6% of screened cells diverge post-clip); this
+   part stays only as the candidate-win side of that ledger.
 
 Run solo on the chip (never while pytest runs — the 2-core host skews
 dispatch): python scripts/rescore_ablation.py
