@@ -470,7 +470,7 @@ def cmd_align(args) -> int:
 def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
                        contig_off, Gp, genome_sharded, acc, cov, votes,
                        metrics, done_ids=None, save_ckpt=None,
-                       metas_by_contig=None):
+                       metas_by_contig=None, merge_deferred=False):
     """Config-5 batch loop (BASELINE.json config 5): every process STREAMS
     its own shard of the reads (``records`` is the lazy producer — memory is
     O(batch), not O(shard)), dispatch is synchronous (cross-process
@@ -581,6 +581,7 @@ def _run_snp_multihost(args, cfg, model, genome, subst, mesh, records,
                 use_bands=staged["mu_b"] is not None,
                 use_tables=staged["ttab"] is not None,
                 with_path=False,
+                merge_deferred=merge_deferred,
             )
         score, acc, cov, votes = steps[skey](
             arrays, extra["wstart"], extra["wlen"], extra["strand"],
@@ -646,6 +647,24 @@ def cmd_snp(args) -> int:
         genome_sharded = n_dev > 1 and G_total >= (1 << 22)
     Gp = _round_up(max(G_total, 1), n_dev * 128) if genome_sharded else G_total
 
+    # merge cadence (BASELINE.md collective-overhead row): per-batch psum of
+    # the (G, 4)+(G,)+(G, 4) contribution costs ~3 ms ICI / ~23 ms DCN of
+    # wire time per batch at config-4 genome size — the latter comparable to
+    # the whole device step — yet the merged state is only consumed at
+    # checkpoint/call time. Deferred mode carries per-device full-G partials
+    # (G·16 B of HBM each) and merges once per checkpoint + once at the end.
+    if args.merge == "per-batch":
+        merge_deferred = False
+    elif args.merge == "deferred":
+        merge_deferred = n_dev > 1
+    else:
+        merge_deferred = n_dev > 1 and Gp <= (1 << 26)
+    merge_fn = (sharded.make_merge_fn(mesh, cfg, Gp, genome_sharded)
+                if merge_deferred else None)
+
+    def merged_state(a, c, v):
+        return merge_fn(a, c, v) if merge_fn is not None else (a, c, v)
+
     # resume from checkpoint if present
     ckpt_accs, done_ids = ({}, set())
     resumed_metas = []
@@ -700,7 +719,7 @@ def cmd_snp(args) -> int:
                               shard=(pid, nproc) if multihost else None)
 
     acc, cov, votes = sharded.make_accumulators_sharded(
-        mesh, cfg, Gp, genome_sharded)
+        mesh, cfg, Gp, genome_sharded, merge_deferred=merge_deferred)
     if ckpt_accs:
         a_np = np.zeros((Gp, 4), np.float32)
         c_np = np.zeros((Gp,), np.int32)
@@ -713,7 +732,17 @@ def cmd_snp(args) -> int:
                 c_np[coff:coff + l] = ck[1]
                 if len(ck) > 2:
                     v_np[coff:coff + l] = ck[2]
-        spec = P(cfg.data_axis) if genome_sharded else P()
+        if merge_deferred:
+            # seed device 0's partial with the restored state (zeros
+            # elsewhere): the deferred merge sums partials, so the total
+            # equals the checkpoint
+            def pad_part(a):
+                return np.concatenate(
+                    [a, np.zeros((Gp * (n_dev - 1),) + a.shape[1:], a.dtype)])
+            a_np, c_np, v_np = pad_part(a_np), pad_part(c_np), pad_part(v_np)
+            spec = P(cfg.data_axis)
+        else:
+            spec = P(cfg.data_axis) if genome_sharded else P()
         sh = NamedSharding(mesh, spec)
         # make_array_from_callback works on a multi-host mesh too (each
         # process materializes only its addressable shards; the restored
@@ -733,8 +762,9 @@ def cmd_snp(args) -> int:
 
     def save_ckpt():
         if args.checkpoint:
-            a_np, c_np, v_np = (np.asarray(acc), np.asarray(cov),
-                                np.asarray(votes))
+            ma, mc, mv = merged_state(acc, cov, votes)
+            a_np, c_np, v_np = (np.asarray(ma), np.asarray(mc),
+                                np.asarray(mv))
             save_checkpoint(args.checkpoint,
                             _accs_by_contig(a_np, c_np, v_np), done_ids,
                             read_metas=_flat_metas())
@@ -758,6 +788,9 @@ def cmd_snp(args) -> int:
             _crash_point("post_manifest", pid, n_batches)
         multihost_utils.sync_global_devices(f"ckpt_manifests_{n_batches}")
         _crash_point("pre_acc", pid, n_batches)
+        # deferred-merge mode: THE collective of the run happens here (and
+        # at finalize) instead of per batch; every process joins it
+        acc, cov, votes = merged_state(acc, cov, votes)
         # the fetch is collective for genome-sharded accumulators — every
         # process participates even though only process 0 writes
         a_np = np.asarray(dist.fetch_replicated(acc))
@@ -788,11 +821,13 @@ def cmd_snp(args) -> int:
             args, cfg, model, genome, subst, mesh, records, contig_off, Gp,
             genome_sharded, acc, cov, votes, metrics,
             done_ids=done_ids, metas_by_contig=metas_by_contig,
-            save_ckpt=save_ckpt_mh if args.checkpoint else None)
+            save_ckpt=save_ckpt_mh if args.checkpoint else None,
+            merge_deferred=merge_deferred)
         dt = time.time() - t0
         metrics.gauge("reads_per_s", n_done / dt if dt > 0 else 0.0)
         dt_e2e = time.time() - t_e2e
         metrics.gauge("reads_per_s_e2e", n_done / dt_e2e if dt_e2e > 0 else 0.0)
+        acc, cov, votes = merged_state(acc, cov, votes)
         a_np = np.asarray(dist.fetch_replicated(acc))
         c_np = np.asarray(dist.fetch_replicated(cov))
         v_np = np.asarray(dist.fetch_replicated(votes))
@@ -843,6 +878,7 @@ def cmd_snp(args) -> int:
                 use_bands=staged["mu_b"] is not None,
                 use_tables=staged["ttab"] is not None,
                 with_path=False,
+                merge_deferred=merge_deferred,
             )
         return steps[key]
 
@@ -915,6 +951,7 @@ def cmd_snp(args) -> int:
     if span_t0 is not None:  # final drain belongs to the open steady span
         steady_secs += time.time() - span_t0
     save_ckpt()
+    acc, cov, votes = merged_state(acc, cov, votes)
     a_np, c_np, v_np = np.asarray(acc), np.asarray(cov), np.asarray(votes)
     all_calls = _final_calls(args, cfg, model, genome, contig_off,
                              a_np, c_np, v_np, metas_by_contig,
@@ -1044,6 +1081,16 @@ def build_parser() -> argparse.ArgumentParser:
     ss.add_argument("--checkpoint", help="accumulator checkpoint path (resume)")
     ss.add_argument("--checkpoint-every", type=int, default=8,
                     help="save the checkpoint every N batches")
+    ss.add_argument("--merge", default="auto",
+                    choices=["auto", "deferred", "per-batch"],
+                    help="accumulator merge cadence across devices: "
+                         "'deferred' keeps per-device full-genome partials "
+                         "and runs the psum/psum_scatter only at checkpoint "
+                         "and call time (collective cost O(merges), not "
+                         "O(batches) — BASELINE.md collective-overhead "
+                         "row); 'per-batch' merges every batch; auto: "
+                         "deferred when the partial fits device memory "
+                         "(<= 64M genome positions)")
     ss.set_defaults(fn=cmd_snp)
 
     sm = sub.add_parser("simulate", help="generate synthetic fast5 test data")

@@ -94,6 +94,15 @@ class AlignConfig:
     # snp_joint_filter_mad MADs below the cluster median are dropped from
     # the delta matrix before aggregation. 0 disables the filter.
     snp_joint_filter_mad: float = 0.0
+    # device routing for the joint pass's hypothesis-row DP slabs. "cpu"
+    # (default): the host CPU scores them — right when clusters are few and
+    # on tunnel-attached chips, where per-slab host<->device transfers
+    # dominate (measured: 22k rows took 82 s via the axon tunnel vs 15 s on
+    # the 2-core host CPU — BASELINE.md round-5 joint-scale row). "default":
+    # run the fixed-shape slabs on the default JAX device — right on local
+    # TPU hosts at whole-genome scale, where the 29-GFLOP workload is
+    # sub-second on-device and the host CPU is the bottleneck.
+    snp_joint_device: str = "cpu"
     # --- batching ---
     # signal-length buckets: ~1.25x geometric steps (128-aligned) bound the
     # worst-case padding waste at ~20% (power-of-two steps measured 38% on

@@ -52,6 +52,13 @@ from .kmer_model import KmerModel
 # positions ≈ 300-500 samples; longer tails are trimmed symmetrically).
 T_PAD = 512
 N_PAD = 64
+# rows per DP slab: whole-genome runs score tens of thousands of hypothesis
+# rows (config-4 measurement, BASELINE.md round 5: 22k rows — arbitrary row
+# counts recompiled the scan per call AND the backtrack decision tensor
+# alone was (T_PAD · rows · band) ≈ 1.5 GB in one allocation). Fixed-size
+# slabs give ONE compiled executable for any workload and bound peak memory
+# at ~135 MB per slab.
+R_SLAB = 2048
 
 _COMP = np.array([3, 2, 1, 0], dtype=np.int64)
 _BASES = "ACGT"
@@ -229,14 +236,20 @@ def _score_rows(xs, t_lens, mus, sgs, n_refs, cfg: AlignConfig,
                 use_skip: bool = False):
     """Batched full-band Viterbi over the padded joint rows.
 
-    Runs the portable lax.scan backend on the host CPU device — the batch is
-    tiny (reads × hypotheses rows of ≤ T_PAD samples) and a remote-TPU
-    compile round trip would cost more than the whole pass. ``pin``
-    constrains the alignment to span position 0..n_ref-1 (see the pinned-
-    endpoint rationale in the module docstring); the locate pass runs free.
-    ``use_skip`` enables the skip transition at cfg.snp_joint_log_p_skip —
-    the indel-tolerant slice model (a pore-skipped position costs one
-    bounded penalty instead of a forced misalignment).
+    Device routing: rows run in fixed R_SLAB-row slabs via the portable
+    lax.scan backend on the host CPU (the default; one cached executable
+    for any workload). With cfg.snp_joint_device="default", workloads
+    larger than one slab run on the default JAX device instead — right on
+    local TPU hosts at whole-genome scale (the config-4 workload is ~29
+    GFLOP ≈ 15 s on a 2-core host but sub-second on-device; through a
+    TUNNEL-attached chip the per-slab transfers dominate and "cpu" wins —
+    both measured, BASELINE.md round-5 joint-scale row). ``pin``
+    constrains the alignment to span position 0..n_ref-1
+    (see the pinned-endpoint rationale in the module docstring); the locate
+    pass runs free. ``use_skip`` enables the skip transition at
+    cfg.snp_joint_log_p_skip — the indel-tolerant slice model (a
+    pore-skipped position costs one bounded penalty instead of a forced
+    misalignment).
     """
     import jax
     import jax.numpy as jnp
@@ -248,28 +261,44 @@ def _score_rows(xs, t_lens, mus, sgs, n_refs, cfg: AlignConfig,
                                log_p_skip=(cfg.snp_joint_log_p_skip
                                            if use_skip else cfg.log_p_skip))
     R = len(xs)
-    x = np.zeros((R, T_PAD), np.float32)
-    mu = np.zeros((R, N_PAD), np.float32)
-    sg = np.ones((R, N_PAD), np.float32)
+    Rp = -(-max(R, 1) // R_SLAB) * R_SLAB
+    x = np.zeros((Rp, T_PAD), np.float32)
+    mu = np.zeros((Rp, N_PAD), np.float32)
+    sg = np.ones((Rp, N_PAD), np.float32)
     for r in range(R):
         x[r, : len(xs[r])] = xs[r]
         mu[r, : len(mus[r])] = mus[r]
         sg[r, : len(sgs[r])] = sgs[r]
-    lo = np.zeros((R, T_PAD), np.int32)        # full band: anchor-insensitive
-    try:
-        dev = jax.devices("cpu")[0]
-        ctx = jax.default_device(dev)
-    except RuntimeError:
-        ctx = _nullctx()
+    tl = np.zeros(Rp, np.int32)
+    tl[:R] = np.asarray(t_lens, np.int32)
+    tl[R:] = 4                                 # harmless nonzero pad rows
+    nr = np.ones(Rp, np.int32)
+    nr[:R] = np.asarray(n_refs, np.int32)
+    lo = np.zeros((R_SLAB, T_PAD), np.int32)   # full band: anchor-insensitive
+    ctx = _nullctx()
+    if cfg.snp_joint_device == "cpu" or R <= R_SLAB:
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+    scores, paths = [], []
     with ctx:
-        res = banded_dp.banded_viterbi_batch(
-            jnp.asarray(x), jnp.asarray(np.asarray(t_lens, np.int32)),
-            jnp.asarray(mu), jnp.asarray(sg),
-            jnp.asarray(np.asarray(n_refs, np.int32)), jnp.asarray(lo), jcfg,
-            pin_start=pin, pin_end=pin)
-        if want_path:
-            return np.asarray(res.score), np.asarray(res.path)
-        return np.asarray(res.score)
+        # fixed-size slabs: every call shares one compiled executable and
+        # peak memory stays bounded (see R_SLAB note above)
+        for r0 in range(0, Rp, R_SLAB):
+            sl = slice(r0, r0 + R_SLAB)
+            res = banded_dp.banded_viterbi_batch(
+                jnp.asarray(x[sl]), jnp.asarray(tl[sl]),
+                jnp.asarray(mu[sl]), jnp.asarray(sg[sl]),
+                jnp.asarray(nr[sl]), jnp.asarray(lo), jcfg,
+                pin_start=pin, pin_end=pin)
+            scores.append(np.asarray(res.score))
+            if want_path:
+                paths.append(np.asarray(res.path))
+    score = np.concatenate(scores)[:R]
+    if want_path:
+        return score, np.concatenate(paths)[:R]
+    return score
 
 
 class _nullctx:

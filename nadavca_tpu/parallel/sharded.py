@@ -91,6 +91,7 @@ def make_sharded_step(
     use_bands: bool = False,
     use_tables: bool = False,
     with_path: bool = True,
+    merge_deferred: bool = False,
 ):
     """Build the jitted multi-device align+accumulate step.
 
@@ -108,6 +109,22 @@ def make_sharded_step(
     ``with_path=False`` drops the (R, T) Viterbi path from the outputs — the
     SNP loop never reads it, and materializing it costs an R·T·4-byte HBM
     write per batch (~21 MB at bench shapes).
+
+    ``merge_deferred=True`` removes the per-batch collective entirely: each
+    device carries a FULL-genome partial accumulator (global arrays are
+    (n_dev·G, 4)-shaped, P(data)-sharded; see make_accumulators_sharded)
+    and the step just adds its local contribution — the single psum /
+    psum_scatter moves to :func:`make_merge_fn`, run only at checkpoints
+    and before calling. Rationale (scripts/collective_overhead.py,
+    BASELINE.md round-5 row): at config-4 genome size the merge payload is
+    ~166 MB/batch — ~3 ms of ICI or ~23 ms of DCN wire time per batch, the
+    latter comparable to the whole 24.8 ms device step. The merged state is
+    only ever consumed at checkpoint/call time, so per-batch merging is
+    pure overhead; deferring it makes the collective cost O(merges), not
+    O(batches). The trade is G·16 bytes of HBM per device for the partial
+    (74 MB at 4.6 Mb), so callers fall back to per-batch merging for
+    genomes too large to replicate (the genome-sharded regime's reason to
+    exist).
     """
     axis = cfg.data_axis
     G = genome_len
@@ -117,7 +134,10 @@ def make_sharded_step(
 
     data = P(axis)
     repl = P()
-    acc_spec = P(axis) if genome_sharded else repl
+    if merge_deferred:
+        acc_spec = data                   # per-device full-G partials
+    else:
+        acc_spec = P(axis) if genome_sharded else repl
 
     array_keys = ["x", "t_len", "mu", "sigma", "n_ref", "lo", "delta",
                   "codes", "ids", "lm", "ls"]
@@ -152,7 +172,11 @@ def make_sharded_step(
         dacc = jnp.zeros((G + 1, 4), jnp.float32).at[flat].add(ll)[:G]
         dcov = jnp.zeros((G + 1,), jnp.int32).at[flat].add(n_valid)[:G]
         dvotes = jnp.zeros((G + 1, 4), jnp.int32).at[flat].add(onehot)[:G]
-        if genome_sharded:
+        if merge_deferred:
+            # no collective: the local full-G partial just grows; the merge
+            # happens in make_merge_fn at checkpoint/finalize time
+            pass
+        elif genome_sharded:
             # each device keeps its genome slice of the merged contribution
             dacc = jax.lax.psum_scatter(
                 dacc.reshape(n_dev, G // n_dev, 4), axis, scatter_dimension=0,
@@ -223,14 +247,59 @@ def make_sharded_align(
 
 
 def make_accumulators_sharded(mesh: Mesh, cfg: AlignConfig, genome_len: int,
-                              genome_sharded: bool = False):
-    """Device accumulators with the right sharding for make_sharded_step."""
+                              genome_sharded: bool = False,
+                              merge_deferred: bool = False):
+    """Device accumulators with the right sharding for make_sharded_step.
+
+    ``merge_deferred``: per-device FULL-genome partials — global shape
+    (n_dev·G, ...) sharded P(data); merge with :func:`make_merge_fn`.
+    """
+    if merge_deferred:
+        n = mesh.devices.size
+        sh = NamedSharding(mesh, P(cfg.data_axis))
+        acc = jax.device_put(jnp.zeros((n * genome_len, 4), jnp.float32), sh)
+        cov = jax.device_put(jnp.zeros((n * genome_len,), jnp.int32), sh)
+        votes = jax.device_put(jnp.zeros((n * genome_len, 4), jnp.int32), sh)
+        return acc, cov, votes
     spec = P(cfg.data_axis) if genome_sharded else P()
     sh = NamedSharding(mesh, spec)
     acc = jax.device_put(jnp.zeros((genome_len, 4), jnp.float32), sh)
     cov = jax.device_put(jnp.zeros((genome_len,), jnp.int32), sh)
     votes = jax.device_put(jnp.zeros((genome_len, 4), jnp.int32), sh)
     return acc, cov, votes
+
+
+def make_merge_fn(mesh: Mesh, cfg: AlignConfig, genome_len: int,
+                  genome_sharded: bool = False):
+    """The deferred merge: (n_dev·G, ...) P(data) partials → the exact
+    accumulator layout the per-batch-merge mode maintains (replicated, or
+    genome-sharded slices). Pure — partials are left untouched, so it can
+    run at every checkpoint and again at finalize."""
+    axis = cfg.data_axis
+    G = genome_len
+    n_dev = mesh.devices.size
+    out_spec = P(axis) if genome_sharded else P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(out_spec, out_spec, out_spec),
+        check_vma=False,
+    )
+    def merge(acc, cov, votes):
+        if genome_sharded:
+            return (
+                jax.lax.psum_scatter(acc.reshape(n_dev, G // n_dev, 4),
+                                     axis, scatter_dimension=0, tiled=False),
+                jax.lax.psum_scatter(cov.reshape(n_dev, G // n_dev),
+                                     axis, scatter_dimension=0, tiled=False),
+                jax.lax.psum_scatter(votes.reshape(n_dev, G // n_dev, 4),
+                                     axis, scatter_dimension=0, tiled=False),
+            )
+        return (jax.lax.psum(acc, axis), jax.lax.psum(cov, axis),
+                jax.lax.psum(votes, axis))
+
+    return jax.jit(merge)
 
 
 def shard_batch_arrays(mesh: Mesh, cfg: AlignConfig, arrays: dict):

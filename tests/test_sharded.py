@@ -148,3 +148,50 @@ def test_pallas_interpret_under_shard_map(world):
     np.testing.assert_array_equal(p_p, p_s)
     np.testing.assert_array_equal(cov_p, cov_s)
     np.testing.assert_allclose(acc_p, acc_s, rtol=1e-3, atol=5e-2)
+
+
+@pytest.mark.parametrize("genome_sharded", [False, True])
+def test_deferred_merge_matches_per_batch(world, genome_sharded):
+    """merge_deferred: two batches of local-partial accumulation + ONE
+    collective at merge time must equal the per-batch-psum state (the
+    production contract behind the checkpoint/finalize-time merge)."""
+    model, genome, batch = world
+    G = len(genome["ref"])
+    mesh = sharded.make_mesh(8, CFG.data_axis)
+    staged0 = stage_batch(batch, model, CFG, "scan")
+    arrays = sharded.shard_batch_arrays(mesh, CFG, {
+        "wstart": jnp.asarray(batch.window_start),
+        "wlen": jnp.asarray(batch.window_len),
+        "strand": jnp.asarray(batch.strand),
+    })
+    inputs = sharded.shard_staged(mesh, CFG, staged0)
+    inputs = {k: v for k, v in inputs.items()
+              if k not in ("backend", "k") and v is not None}
+
+    def run(merge_deferred):
+        step = sharded.make_sharded_step(
+            mesh, CFG, G, backend=staged0["backend"], k=model.k,
+            genome_sharded=genome_sharded, merge_deferred=merge_deferred,
+            use_bands=staged0["mu_b"] is not None,
+            use_tables=staged0["ttab"] is not None, with_path=False,
+        )
+        acc, cov, votes = sharded.make_accumulators_sharded(
+            mesh, CFG, G, genome_sharded, merge_deferred=merge_deferred)
+        for _ in range(2):  # two batches: partials must accumulate
+            _, acc, cov, votes = step(
+                inputs, arrays["wstart"], arrays["wlen"], arrays["strand"],
+                acc, cov, votes)
+        if merge_deferred:
+            merge = sharded.make_merge_fn(mesh, CFG, G, genome_sharded)
+            m1 = merge(acc, cov, votes)
+            m2 = merge(acc, cov, votes)  # pure: partials untouched
+            np.testing.assert_array_equal(np.asarray(m1[1]),
+                                          np.asarray(m2[1]))
+            acc, cov, votes = m1
+        return np.asarray(acc), np.asarray(cov), np.asarray(votes)
+
+    acc_d, cov_d, votes_d = run(True)
+    acc_p, cov_p, votes_p = run(False)
+    np.testing.assert_array_equal(cov_d, cov_p)
+    np.testing.assert_array_equal(votes_d, votes_p)
+    np.testing.assert_allclose(acc_d, acc_p, rtol=1e-4, atol=1e-2)
