@@ -735,21 +735,37 @@ def cmd_snp(args) -> int:
         if merge_deferred:
             # seed device 0's partial with the restored state (zeros
             # elsewhere): the deferred merge sums partials, so the total
-            # equals the checkpoint
-            def pad_part(a):
-                return np.concatenate(
-                    [a, np.zeros((Gp * (n_dev - 1),) + a.shape[1:], a.dtype)])
-            a_np, c_np, v_np = pad_part(a_np), pad_part(c_np), pad_part(v_np)
-            spec = P(cfg.data_axis)
+            # equals the checkpoint. The callback builds each shard's rows
+            # of the virtual [restored; zeros] concatenation on demand —
+            # no (n_dev·Gp) host array is ever materialized.
+            sh = NamedSharding(mesh, P(cfg.data_axis))
+
+            def seeded(a):
+                def cb(idx, a=a):
+                    sl = idx[0]
+                    start = sl.start or 0
+                    stop = sl.stop if sl.stop is not None else n_dev * Gp
+                    out = np.zeros((stop - start,) + a.shape[1:], a.dtype)
+                    if start < Gp:
+                        hi = min(stop, Gp)
+                        out[: hi - start] = a[start:hi]
+                    return out
+
+                return jax.make_array_from_callback(
+                    (n_dev * Gp,) + a.shape[1:], sh, cb)
+
+            acc, cov, votes = seeded(a_np), seeded(c_np), seeded(v_np)
         else:
             spec = P(cfg.data_axis) if genome_sharded else P()
-        sh = NamedSharding(mesh, spec)
-        # make_array_from_callback works on a multi-host mesh too (each
-        # process materializes only its addressable shards; the restored
-        # host value is identical on every process)
-        acc, cov, votes = (
-            jax.make_array_from_callback(a.shape, sh, lambda idx, a=a: a[idx])
-            for a in (jnp.asarray(a_np), jnp.asarray(c_np), jnp.asarray(v_np)))
+            sh = NamedSharding(mesh, spec)
+            # make_array_from_callback works on a multi-host mesh too (each
+            # process materializes only its addressable shards; the restored
+            # host value is identical on every process)
+            acc, cov, votes = (
+                jax.make_array_from_callback(a.shape, sh,
+                                             lambda idx, a=a: a[idx])
+                for a in (jnp.asarray(a_np), jnp.asarray(c_np),
+                          jnp.asarray(v_np)))
 
     def _accs_by_contig(a_np, c_np, v_np):
         return {cname: (a_np[coff:coff + len(genome[cname])],
